@@ -1,0 +1,75 @@
+"""Griffin-Lim phase reconstruction, jit-able and batched.
+
+TPU-native equivalent of the reference's two G-L paths:
+- numpy `_griffin_lim` (audio.py:151-161): random phase init, 60 iterations.
+- in-graph `_griffin_lim_tensorflow` (audio.py:163-176): phase from unit-
+  normalized STFT estimate (used when `GL_on_GPU=True`).
+
+The device implementation follows the in-graph variant (iteration via
+`lax.fori_loop`, phase = est / max(|est|, 1e-8)) and works on real (re, im)
+pairs — complex dtypes are avoided entirely so the whole loop lowers to MXU
+matmuls + VPU elementwise ops. Spectrograms are `[..., frames, bins]`
+magnitude (already raised to `power`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AudioConfig
+from . import stft as _stft
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_size", "iters"))
+def griffin_lim(S: jnp.ndarray, n_fft: int, hop: int, win_size: int,
+                iters: int = 60, key: jax.Array | None = None) -> jnp.ndarray:
+    """Magnitude spectrogram [..., frames, bins] → waveform [..., T].
+
+    If `key` is given, phases are initialized uniformly at random (numpy-path
+    parity, audio.py:155); otherwise zero phase (deterministic).
+    """
+    S = jnp.asarray(S)
+    if key is not None:
+        phase = jax.random.uniform(key, S.shape, minval=0.0, maxval=2 * jnp.pi)
+        re, im = S * jnp.cos(phase), S * jnp.sin(phase)
+    else:
+        re, im = S, jnp.zeros_like(S)
+
+    y = _stft.istft(re, im, n_fft, hop, win_size)
+
+    def body(_, y):
+        est_re, est_im = _stft.stft(y, n_fft, hop, win_size)
+        mag = jnp.maximum(1e-8, jnp.sqrt(est_re * est_re + est_im * est_im))
+        return _stft.istft(S * est_re / mag, S * est_im / mag, n_fft, hop, win_size)
+
+    return jax.lax.fori_loop(0, iters, body, y)
+
+
+def inv_linear_spectrogram(linear: jnp.ndarray, cfg: AudioConfig,
+                           key: jax.Array | None = None) -> jnp.ndarray:
+    """Normalized linear spectrogram [..., frames, bins] → waveform.
+
+    Reference: inv_linear_spectrogram (audio.py:79-94) minus host-side inverse
+    preemphasis (apply `data.audio.inv_preemphasis` on the host after).
+    """
+    D = _stft.denormalize_db(linear, cfg) if cfg.signal_normalization else linear
+    S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
+    return griffin_lim(S ** cfg.power, cfg.n_fft, cfg.effective_hop,
+                       cfg.win_size, cfg.griffin_lim_iters, key)
+
+
+def inv_mel_spectrogram(mel: jnp.ndarray, cfg: AudioConfig,
+                        key: jax.Array | None = None) -> jnp.ndarray:
+    """Normalized mel spectrogram [..., frames, mels] → waveform.
+
+    Reference: inv_mel_spectrogram (audio.py:97-112): denormalize → dB→amp →
+    mel→linear via pinv basis → G-L.
+    """
+    D = _stft.denormalize_db(mel, cfg) if cfg.signal_normalization else mel
+    S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
+    lin = _stft.mel_to_linear(S, cfg)
+    return griffin_lim(lin ** cfg.power, cfg.n_fft, cfg.effective_hop,
+                       cfg.win_size, cfg.griffin_lim_iters, key)
