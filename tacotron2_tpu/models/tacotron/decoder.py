@@ -1,0 +1,249 @@
+"""Tacotron decoder: one `lax.scan` per utterance batch, TPU-first.
+
+Re-design of the reference's dynamic_decode stack (CustomDecoder +
+TacotronDecoderCell + Taco{Training,Test}Helper; Architecture_wrappers.py:71-267,
+custom_decoder.py:20-139, helpers.py:6-179):
+
+- Training/GTA/eval: a fixed-length `nn.scan` over T_out/r steps with per-step
+  teacher-forcing coin flips (one uniform per step, shared across the batch —
+  helpers.py:116-128).
+- Inference: the same scan over a static `max_steps`. The reference's
+  dynamic_decode stops the whole batch when all (or any, per stop_at_any)
+  samples predict <stop>; here extra steps past that point are simply computed
+  and trimmed on the host from the recorded stop tokens
+  (synthesizer.get_output_lengths parity). Static trip counts are what XLA
+  wants; callers bound `max_steps` by bucketing on input length.
+- Prenet dropout stays ON at inference (required for autoregressive
+  diversity); zoneout is deterministic EMA at inference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...config import Config
+from .attention import AttentionParams, SimpleBahdanauAttention
+from .modules import (FrameProjection, MultiheadStyleAttention, Prenet,
+                      StopProjection, ZoneoutLSTMCell, glorot)
+
+
+class DecoderState(NamedTuple):
+    """Scan carry (reference TacotronDecoderCellState, Architecture_wrappers.py:48-69)."""
+
+    lstm_c1: jnp.ndarray
+    lstm_h1: jnp.ndarray
+    lstm_c2: jnp.ndarray
+    lstm_h2: jnp.ndarray
+    context: jnp.ndarray          # [B, M] attention context
+    cum_alignments: jnp.ndarray   # [B, T_in]
+    max_attention: jnp.ndarray    # [B] int32
+    prev_output: jnp.ndarray      # [B, num_mels] last emitted frame
+    context_emt: jnp.ndarray      # [B, E] emt-attention context (emt_attn variant)
+
+
+class DecoderCell(nn.Module):
+    """Single decoder step: prenet → 2×zoneout-LSTM → LSA → projections.
+
+    Reference: TacotronDecoderCell.__call__ (Architecture_wrappers.py:197-267).
+    """
+
+    config: Config
+
+    def setup(self):
+        tc, gst = self.config.tacotron, self.config.gst
+        self.prenet = Prenet(tuple(tc.prenet_layers), tc.dropout_rate)
+        self.lstm1 = ZoneoutLSTMCell(tc.decoder_lstm_units, tc.zoneout_rate)
+        self.lstm2 = ZoneoutLSTMCell(tc.decoder_lstm_units, tc.zoneout_rate)
+        self.attention = AttentionParams(tc.attention_dim, tc.attention_filters,
+                                         tc.attention_kernel)
+        num_mels = self.config.audio.num_mels
+        self.frame_projection = FrameProjection(num_mels * tc.outputs_per_step)
+        self.stop_projection = StopProjection(tc.outputs_per_step)
+
+        if gst.emt_attn:
+            if gst.emt_attn_type == "simple":
+                self.attention_emt = SimpleBahdanauAttention(2 * gst.reference_depth)
+            else:
+                self.attention_emt = MultiheadStyleAttention(
+                    gst.num_heads, gst.style_att_dim, gst.style_att_type)
+                if gst.emt_attn_type == "multihead":
+                    self.attn_emt_out = nn.Dense(128, kernel_init=glorot)
+
+    def emt_context_size(self) -> int:
+        gst = self.config.gst
+        if not gst.emt_attn:
+            return 0
+        if gst.emt_attn_type == "simple":
+            return 2 * gst.reference_depth
+        if gst.emt_attn_type == "multihead":
+            return 128
+        return 64  # style_tokens
+
+    def __call__(self, state: DecoderState, frame_input, keys, memory,
+                 memory_mask, *, train: bool, synthesis: bool,
+                 emt_memory=None, ref_spk=None, labels=None,
+                 apply_stop_sigmoid: bool = False):
+        tc, gst = self.config.tacotron, self.config.gst
+
+        prenet_out = self.prenet(frame_input)
+        lstm_in = jnp.concatenate([prenet_out, state.context], axis=-1)
+
+        # emt-attention input feeding (Architecture_wrappers.py:203-211)
+        if gst.emt_attn and emt_memory is not None:
+            if ref_spk is not None:
+                if gst.emt_attn_type == "multihead":
+                    lstm_in = jnp.concatenate([lstm_in, ref_spk + state.context_emt], -1)
+                else:
+                    lstm_in = jnp.concatenate([lstm_in, state.context_emt, ref_spk], -1)
+            else:
+                lstm_in = jnp.concatenate([lstm_in, state.context_emt], -1)
+
+        (c1, h1), out1 = self.lstm1((state.lstm_c1, state.lstm_h1), lstm_in, train=train)
+        (c2, h2), out2 = self.lstm2((state.lstm_c2, state.lstm_h2), out1, train=train)
+
+        context, alignments, cum_align, max_att = self.attention(
+            out2, keys, memory, state.cum_alignments, memory_mask,
+            state.max_attention,
+            synthesis_constraint=tc.synthesis_constraint and synthesis,
+            constraint_type=tc.synthesis_constraint_type,
+            attention_win_size=tc.attention_win_size,
+            smoothing=tc.smoothing)
+
+        # emt-attention context for next step (Architecture_wrappers.py:228-241)
+        context_emt = state.context_emt
+        alignments_emt = jnp.zeros((frame_input.shape[0], 1), frame_input.dtype)
+        if gst.emt_attn and emt_memory is not None:
+            if gst.emt_attn_type == "simple":
+                context_emt, alignments_emt = self.attention_emt(out2, emt_memory)
+            elif gst.emt_attn_type == "multihead":
+                ctx = self.attention_emt(out2[:, None, :], emt_memory)
+                context_emt = self.attn_emt_out(jnp.squeeze(ctx, 1))
+            else:  # style_tokens
+                q = jnp.concatenate([out2, labels], axis=-1)[:, None, :]
+                context_emt = jnp.squeeze(self.attention_emt(q, emt_memory), 1)
+
+        proj_in = jnp.concatenate([out2, context], axis=-1)
+        frames = self.frame_projection(proj_in)                 # [B, r·mels]
+        stops = self.stop_projection(proj_in, apply_sigmoid=apply_stop_sigmoid)
+
+        new_state = DecoderState(
+            lstm_c1=c1, lstm_h1=h1, lstm_c2=c2, lstm_h2=h2,
+            context=context, cum_alignments=cum_align, max_attention=max_att,
+            prev_output=frames[:, -self.config.audio.num_mels:],
+            context_emt=context_emt)
+        return new_state, (frames, stops, alignments, alignments_emt)
+
+    def zero_state(self, batch: int, t_in: int, memory_dim: int,
+                   dtype=jnp.float32) -> DecoderState:
+        u = self.config.tacotron.decoder_lstm_units
+        num_mels = self.config.audio.num_mels
+        z = lambda *s: jnp.zeros(s, dtype)
+        return DecoderState(
+            lstm_c1=z(batch, u), lstm_h1=z(batch, u),
+            lstm_c2=z(batch, u), lstm_h2=z(batch, u),
+            context=z(batch, memory_dim),
+            cum_alignments=z(batch, t_in),
+            max_attention=jnp.zeros((batch,), jnp.int32),
+            prev_output=z(batch, num_mels),
+            context_emt=z(batch, max(self.emt_context_size(), 1)))
+
+
+def _cell_scan(cell: DecoderCell, carry, xs_step_major, step_fn):
+    """nn.scan wrapper: params broadcast, fresh dropout/zoneout rngs per step."""
+    scan = nn.scan(step_fn,
+                   variable_broadcast="params",
+                   split_rngs={"params": False, "dropout": True, "zoneout": True,
+                               "batch_stats": False},
+                   in_axes=0, out_axes=0)
+    return scan(cell, carry, xs_step_major)
+
+
+class Decoder(nn.Module):
+    """Full decode loops (teacher-forced and autoregressive) around DecoderCell."""
+
+    config: Config
+
+    def setup(self):
+        self.cell = DecoderCell(self.config)
+
+    def teacher_forced(self, mel_targets, keys, memory, memory_mask,
+                       teacher_forcing_ratio, *, train: bool,
+                       emt_memory=None, ref_spk=None, labels=None):
+        """Teacher-forced decode over T_out/r steps.
+
+        mel_targets: [B, T_out, mels] (T_out divisible by r). Per-step input is
+        the last frame of the previous r-group (helpers.py:77-79), replaced by
+        the model's own output with prob (1 - ratio) — one coin per step shared
+        across the batch (helpers.py:116-128).
+        Returns (frames [B, T_out, mels], stop_logits [B, T_out], alignments
+        [B, T_in, steps], alignments_emt or None).
+        """
+        tc = self.config.tacotron
+        num_mels = self.config.audio.num_mels
+        B, T_out, _ = mel_targets.shape
+        r = tc.outputs_per_step
+        steps = T_out // r
+        tf_inputs = mel_targets[:, r - 1::r, :]                        # [B, steps, mels]
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, 1, num_mels), mel_targets.dtype), tf_inputs[:, :-1]],
+            axis=1).transpose(1, 0, 2)                                  # [steps, B, mels]
+
+        coins = (jax.random.uniform(self.make_rng("teacher_forcing"), (steps,))
+                 < teacher_forcing_ratio)
+
+        carry = self.cell.zero_state(B, memory.shape[1], memory.shape[2],
+                                     memory.dtype)
+
+        def step(cell, st, xs):
+            teacher_frame, coin = xs
+            frame_in = jnp.where(coin, teacher_frame, st.prev_output)
+            return cell(st, frame_in, keys, memory, memory_mask,
+                        train=train, synthesis=False, emt_memory=emt_memory,
+                        ref_spk=ref_spk, labels=labels,
+                        apply_stop_sigmoid=False)
+
+        _, (frames, stops, aligns, aligns_emt) = _cell_scan(
+            self.cell, carry, (shifted, coins), step)
+        return self._assemble(frames, stops, aligns, aligns_emt, B)
+
+    def autoregressive(self, batch: int, max_steps: int, keys, memory,
+                       memory_mask, *, emt_memory=None, ref_spk=None,
+                       labels=None):
+        """Free-running decode over a static number of steps.
+
+        Returns (frames, stop_probs, alignments, alignments_emt); stop_probs
+        are post-sigmoid (TacoTestHelper semantics) for host-side length
+        recovery.
+        """
+        carry = self.cell.zero_state(batch, memory.shape[1], memory.shape[2],
+                                     memory.dtype)
+
+        def step(cell, st, _):
+            return cell(st, st.prev_output, keys, memory, memory_mask,
+                        train=False, synthesis=True, emt_memory=emt_memory,
+                        ref_spk=ref_spk, labels=labels, apply_stop_sigmoid=True)
+
+        scan = nn.scan(step,
+                       variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True,
+                                   "zoneout": True, "batch_stats": False},
+                       in_axes=0, out_axes=0, length=max_steps)
+        _, (frames, stops, aligns, aligns_emt) = scan(self.cell, carry, None)
+        return self._assemble(frames, stops, aligns, aligns_emt, batch)
+
+    def _assemble(self, frames, stops, aligns, aligns_emt, B):
+        """Scan outputs (step-major) → batch-major reference layout."""
+        num_mels = self.config.audio.num_mels
+        # frames: [steps, B, r·mels] → [B, steps·r, mels] (tacotron.py:359)
+        frames = frames.transpose(1, 0, 2).reshape(B, -1, num_mels)
+        # stops: [steps, B, r] → [B, steps·r] (tacotron.py:360)
+        stops = stops.transpose(1, 0, 2).reshape(B, -1)
+        # alignments: [steps, B, T_in] → [B, T_in, steps] (tacotron.py:571)
+        aligns = aligns.transpose(1, 2, 0)
+        if aligns_emt is not None and aligns_emt.ndim == 3:
+            aligns_emt = aligns_emt.transpose(1, 2, 0)
+        return frames, stops, aligns, aligns_emt

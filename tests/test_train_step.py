@@ -1,0 +1,101 @@
+"""Train step: loss decreases, schedules match reference anchors, mesh shards."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacotron2_tpu.config import Config, MeshConfig
+from tacotron2_tpu.parallel.mesh import make_mesh, shard_batch
+from tacotron2_tpu.train.optim import (tacotron_lr_schedule,
+                                       teacher_forcing_schedule,
+                                       wavenet_lr_schedule)
+from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+
+from test_tacotron_model import make_batch, tiny_config
+
+
+def test_lr_schedule_anchors():
+    cfg = Config()
+    lr = tacotron_lr_schedule(cfg)
+    # phase 1: clipped at init before decay passes it
+    np.testing.assert_allclose(float(lr(0)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(lr(15000)), 1e-3, rtol=1e-5)
+    # exponential_decay(1e-3, step-15000, 10000, 0.5)
+    np.testing.assert_allclose(float(lr(25000)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(lr(35000)), 2.5e-4, rtol=1e-5)
+    # phase 3: floor at final lr
+    np.testing.assert_allclose(float(lr(400000)), 1e-4, rtol=1e-5)
+
+
+def test_tfr_schedule():
+    cfg = Config()
+    tfr = teacher_forcing_schedule(cfg)
+    assert float(tfr(0)) == 1.0  # constant mode default
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, tacotron_teacher_forcing_mode="scheduled"))
+    tfr2 = teacher_forcing_schedule(cfg2)
+    assert float(tfr2(0)) == 1.0
+    assert float(tfr2(9999)) == 1.0
+    assert float(tfr2(30000)) < 0.5  # decaying after start
+    assert float(tfr2(50000)) < 0.11
+
+
+def test_wavenet_noam():
+    cfg = Config().replace(train=dataclasses.replace(
+        Config().train, wavenet_lr_schedule="noam"))
+    lr = wavenet_lr_schedule(cfg)
+    peak_step = 4000
+    assert float(lr(peak_step)) > float(lr(100))
+    assert float(lr(peak_step)) > float(lr(100000))
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_config()
+    trainer = TacotronTrainer(cfg)
+    batch = make_batch(B=4, T_in=10, T_out=12)
+    batch["input_lengths"] = jnp.full((4,), 10, jnp.int32)
+    batch["targets_lengths"] = jnp.full((4,), 12, jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["after_loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"no improvement: {losses}"
+
+
+def test_train_step_on_mesh():
+    cfg = tiny_config()
+    trainer = TacotronTrainer(cfg)
+    B = 8
+    batch = make_batch(B=B, T_in=10, T_out=12)
+    batch["input_lengths"] = jnp.full((B,), 10, jnp.int32)
+    batch["targets_lengths"] = jnp.full((B,), 12, jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(MeshConfig(), jax.devices())
+    assert mesh.shape["data"] == 8
+    with mesh:
+        sb = shard_batch(mesh, batch)
+        state2, metrics = jax.jit(trainer.train_step)(state, sb, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    # sharded result == single-device result (same params/batch/rng)
+    _, metrics_local = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_local["loss"]), rtol=1e-4)
+
+
+def test_multi_optimizer_masks():
+    from tacotron2_tpu.train.optim import (is_nat_gan_var, is_refnet_var,
+                                           main_update_predicate)
+    pred = main_update_predicate(True, False, False)
+    assert not pred("refnet_emt/conv2d_0/kernel")
+    assert not pred("nat_gan_enc/conv2d_0/kernel")
+    assert not pred("pretrained_ref_enc_emt/kernel")
+    assert pred("decoder/cell/lstm1/kernel")
+    assert is_refnet_var("style_disc_emt/dense/kernel")
+    assert is_nat_gan_var("nat_gan_disc/dense/kernel")
