@@ -194,7 +194,10 @@ class WaveNetConfig:
     cin_channels: int = 80         # local conditioning (mel); -1 disables
     upsample_type: str = "SubPixel"  # {'1D','2D','Resize','SubPixel','NearestNeighbor'}
     upsample_activation: str = "Relu"
-    upsample_scales: Sequence[int] = _tuple(11, 25)
+    # NOTE: the reference ships upsample_scales=[11,25] (=275) alongside
+    # hop_size=200 (hparams.py:88,241) — mutually inconsistent; its WaveNet
+    # path was disabled (train.py:82). We default to (8, 25) = 200 = hop.
+    upsample_scales: Sequence[int] = _tuple(8, 25)
     freq_axis_kernel_size: int = 3
     leaky_alpha: float = 0.4
     nn_init: bool = True

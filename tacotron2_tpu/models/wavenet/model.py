@@ -1,0 +1,153 @@
+"""WaveNet vocoder model (flax): teacher-forced training forward + losses.
+
+Re-design of reference code/wavenet_vocoder/models/wavenet.py:86-721 in
+batch-time-channel layout: first 1×1 conv → L gated residual blocks with
+dilation cycle → skip sum (·√0.5 legacy) → relu/1×1/relu/1×1 head.
+The autoregressive sampler (wavenet.py:724-911) lives in sampler.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import Config
+from ...ops.mulaw import is_mulaw_quantize, is_scalar_input
+from . import distributions as D
+from .modules import Conv1x1, ResidualConv1DGLU, UpsampleNetwork, glorot
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class WaveNetOutput:
+    y_hat: jnp.ndarray                      # [B, T, out_channels]
+    upsampled_features: Optional[jnp.ndarray] = None  # [B, T, cin]
+
+
+class WaveNet(nn.Module):
+    """Config-driven WaveNet; see module docstring."""
+
+    config: Config
+
+    @property
+    def wn(self):
+        return self.config.wavenet
+
+    def setup(self):
+        wn = self.config.wavenet
+        self.scalar_input = is_scalar_input(wn.input_type)
+        self.first_conv = Conv1x1(wn.residual_channels, name="input_convolution")
+        self.residual_layers = [
+            ResidualConv1DGLU(
+                residual_channels=wn.residual_channels,
+                gate_channels=wn.gate_channels,
+                kernel_size=wn.kernel_size,
+                skip_out_channels=wn.skip_out_channels,
+                dilation=d, dropout=wn.dropout,
+                cin_channels=wn.cin_channels, gin_channels=wn.gin_channels,
+                use_bias=wn.use_bias, residual_legacy=wn.residual_legacy,
+                name=f"residual_block_{i}")
+            for i, d in enumerate(wn.dilations)]
+        self.final_conv1 = Conv1x1(wn.skip_out_channels, name="final_convolution_1")
+        self.final_conv2 = Conv1x1(wn.out_channels, name="final_convolution_2")
+
+        if wn.cin_channels > 0:
+            self.upsample_network = UpsampleNetwork(
+                upsample_type=wn.upsample_type, scales=tuple(wn.upsample_scales),
+                freq_kernel=wn.freq_axis_kernel_size, cin_channels=wn.cin_channels,
+                activation=wn.upsample_activation, leaky_alpha=wn.leaky_alpha,
+                nn_init=wn.nn_init, nn_scaler=wn.nn_scaler,
+                name="upsample_network")
+
+        if wn.gin_channels > 0 and wn.use_speaker_embedding:
+            self.embed_speakers = nn.Embed(
+                wn.n_speakers, wn.gin_channels,
+                embedding_init=nn.initializers.normal(stddev=0.1),
+                name="gc_embedding")
+
+    # --------------------------------------------------------------- helpers
+
+    def upsample(self, c):
+        """Mel [B, T_mel, M] → sample-rate local features [B, T_mel·hop, M]."""
+        return self.upsample_network(c)
+
+    def embed_global(self, g):
+        """Speaker ids [B] → [B, gin_channels] (wavenet.py:669-678)."""
+        wn = self.config.wavenet
+        if g is None or wn.gin_channels <= 0:
+            return None
+        if wn.use_speaker_embedding:
+            return self.embed_speakers(g.reshape(-1))
+        return g
+
+    def body(self, x, c, g_vec, *, train: bool):
+        """Conv stack [B, T, in] → logits [B, T, out_channels] (wavenet.py:650-721)."""
+        wn = self.config.wavenet
+        g = None
+        if g_vec is not None:
+            g = jnp.broadcast_to(g_vec[:, None, :],
+                                 (x.shape[0], x.shape[1], g_vec.shape[-1]))
+        x = self.first_conv(x)
+        skips = None
+        for conv in self.residual_layers:
+            x, h = conv(x, c=c, g=g, train=train)
+            if skips is None:
+                skips = h
+            else:
+                skips = skips + h
+                if wn.legacy:
+                    skips = skips * np.sqrt(0.5)
+        x = nn.relu(skips)
+        x = nn.relu(self.final_conv1(x))
+        return self.final_conv2(x)
+
+    # ------------------------------------------------------------------ main
+
+    def __call__(self, x, c=None, g=None, *, train: bool = False
+                 ) -> WaveNetOutput:
+        """Teacher-forced forward.
+
+        x: [B, T, 1] scalar waveform or [B, T, Q] one-hot;
+        c: [B, T_mel, cin] mel conditioning (upsampled internally);
+        g: [B] speaker ids or [B, gin] features.
+        """
+        c_up = None
+        if c is not None and self.config.wavenet.cin_channels > 0:
+            c_up = self.upsample(c)
+            assert c_up.shape[1] == x.shape[1], \
+                f"upsampled cond {c_up.shape} != input {x.shape}"
+        y_hat = self.body(x, c_up, self.embed_global(g), train=train)
+        return WaveNetOutput(y_hat=y_hat, upsampled_features=c_up)
+
+
+def compute_wavenet_loss(out: WaveNetOutput, y_target, lengths,
+                         cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Next-sample prediction loss (wavenet.py:476-519): y_hat[:, :-1] vs
+    y[:, 1:], masked by (lengths - 1)."""
+    wn = cfg.wavenet
+    y_hat = out.y_hat[:, :-1]
+    if is_mulaw_quantize(wn.input_type):
+        y = y_target[:, 1:]                      # [B, T-1] int ids
+        loss = D.masked_cross_entropy_loss(y_hat, y, lengths - 1)
+    else:
+        y = y_target[:, 1:]
+        if y.ndim == 2:
+            y = y[..., None]
+        if wn.out_channels == 2:
+            fn = lambda yh, yy, reduce: D.gaussian_mle_loss(
+                yh, yy, log_scale_min_gauss=wn.log_scale_min_gauss,
+                num_classes=wn.quantize_channels, use_cdf=wn.cdf_loss,
+                reduce=reduce)
+        else:
+            fn = lambda yh, yy, reduce: D.discretized_mix_logistic_loss(
+                yh, yy, num_classes=wn.quantize_channels,
+                log_scale_min=wn.log_scale_min, reduce=reduce)
+        loss = D.masked_distribution_loss(
+            lambda yh, yy, reduce=False: fn(yh, yy, reduce), y_hat, y,
+            lengths - 1)
+    return {"loss": loss}

@@ -1,0 +1,105 @@
+"""WaveNet feeder + train step: invariants and learning smoke test."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.data.wavenet_feeder import WaveNetFeeder, interp_to_unit
+from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+
+from test_wavenet import tiny_wn_config
+
+
+@pytest.fixture(scope="module")
+def wn_corpus(tmp_path_factory):
+    """Synthetic (audio, mel) pairs with the hop-alignment invariant."""
+    out = tmp_path_factory.mktemp("wn")
+    cfg = tiny_wn_config()
+    hop = int(np.prod(cfg.wavenet.upsample_scales))  # 4
+    os.makedirs(out / "ds" / "audio", exist_ok=True)
+    os.makedirs(out / "ds" / "mels", exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(20):
+        frames = int(rng.integers(20, 60))
+        T = frames * hop
+        t = np.arange(T) / 16000
+        x = (0.4 * np.sin(2 * np.pi * (200 + 20 * i) * t)).astype(np.float32)
+        c = rng.uniform(-4, 4, (frames, cfg.wavenet.cin_channels)).astype(np.float32)
+        np.save(out / "ds" / "audio" / f"audio-{i}.npy", x)
+        np.save(out / "ds" / "mels" / f"mel-{i}.npy", c)
+        rows.append(f"ds|audio-{i}.npy|mel-{i}.npy|linear-{i}.npy|s.npy|{T}|{frames}|text|0|0|b{i}.wav|F")
+    meta = out / "train.txt"
+    meta.write_text("\n".join(rows) + "\n")
+    return str(meta), cfg
+
+
+def small_train_cfg(cfg: Config) -> Config:
+    return cfg.replace(
+        train=dataclasses.replace(cfg.train, wavenet_batch_size=2,
+                                  wavenet_test_size=None, wavenet_test_batches=2,
+                                  max_time_steps=96),
+        audio=dataclasses.replace(cfg.audio, hop_size=4, num_mels=10))
+
+
+def test_feeder_batches(wn_corpus):
+    meta, cfg = wn_corpus
+    cfg = small_train_cfg(cfg)
+    feeder = WaveNetFeeder(cfg, meta, gta=False, batches_per_group=2)
+    batch = next(feeder.train_batches())
+    B = cfg.train.wavenet_batch_size
+    assert batch["x"].shape[0] == B and batch["x"].shape[2] == 1
+    T = batch["x"].shape[1]
+    assert T <= cfg.train.max_time_steps
+    assert T % cfg.audio.effective_hop == 0
+    # upsampling invariant after crop+pad
+    assert batch["c"].shape[1] * cfg.audio.effective_hop == T
+    # mels rescaled to [0, 1]
+    assert batch["c"].min() >= 0.0 and batch["c"].max() <= 1.0
+
+
+def test_interp_to_unit():
+    cfg = Config()
+    x = np.array([-4.0, 0.0, 4.0])
+    np.testing.assert_allclose(interp_to_unit(x, cfg), [0.0, 0.5, 1.0])
+
+
+def test_train_step_learns(wn_corpus):
+    meta, cfg = wn_corpus
+    cfg = small_train_cfg(cfg)
+    feeder = WaveNetFeeder(cfg, meta, gta=False, batches_per_group=2)
+    it = feeder.train_batches()
+    batch = next(it)
+    trainer = WaveNetTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    losses = []
+    for i in range(10):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # EMA params differ from live params but stay close
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.params, state.ema_params)
+    max_diff = max(jax.tree_util.tree_leaves(diff))
+    assert 0 < max_diff < 1.0
+
+
+def test_eval_step_uses_ema(wn_corpus):
+    meta, cfg = wn_corpus
+    cfg = small_train_cfg(cfg)
+    feeder = WaveNetFeeder(cfg, meta, gta=False, batches_per_group=2)
+    batch = next(feeder.train_batches())
+    trainer = WaveNetTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(1))
+    out_ema, terms_ema = trainer.eval_step(state, batch, use_ema=True)
+    out_live, terms_live = trainer.eval_step(state, batch, use_ema=False)
+    assert np.isfinite(float(terms_ema["loss"]))
+    assert float(terms_ema["loss"]) != float(terms_live["loss"])
