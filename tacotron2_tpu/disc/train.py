@@ -1,0 +1,138 @@
+"""Discriminator trainer: N×M grouped batches → GE2E or CE training.
+
+Parity with reference code/spk_disc/main.py:15-37 (N classes × M utterances
+per batch), model.py train loop, and the checkpoint export consumed by
+Tacotron's pretrained_ref_enc_{emt,spk} import (tacotron/train.py:280-285,
+via checkpoint.import_pretrained_subtree).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..train.checkpoint import CheckpointManager
+from ..utils import ValueWindow, log
+from .model import DiscriminatorModel, disc_ce_loss, ge2e_loss, similarity_matrix
+
+
+class DiscFeeder:
+    """Groups train.txt rows by class; yields [N·M, T, mels] batches."""
+
+    def __init__(self, cfg: Config, metadata_path: str, kind: str = "emt",
+                 crop_frames: int = 128, seed: int = 1234):
+        self.cfg = cfg
+        self.kind = kind
+        self.crop = crop_frames
+        self.data_dir = os.path.dirname(metadata_path)
+        self.rng = np.random.default_rng(seed)
+        with open(metadata_path, encoding="utf-8") as f:
+            rows = [line.strip().split("|") for line in f if line.strip()]
+        col = 8 if kind == "emt" else 9
+        self.by_class: Dict[int, list] = {}
+        for r in rows:
+            self.by_class.setdefault(int(float(r[col])), []).append(r)
+        self.classes = sorted(self.by_class)
+
+    @property
+    def n_classes(self) -> int:
+        return max(self.classes) + 1
+
+    def _load_crop(self, row) -> np.ndarray:
+        mel = np.load(os.path.join(self.data_dir, row[0], "mels", row[2]))
+        if len(mel) >= self.crop:
+            start = int(self.rng.integers(0, len(mel) - self.crop + 1))
+            return mel[start:start + self.crop]
+        pad = self.crop - len(mel)
+        return np.pad(mel, ((0, pad), (0, 0)),
+                      constant_values=-self.cfg.audio.max_abs_value)
+
+    def batches(self, N: Optional[int] = None, M: int = 8) -> Iterator[Dict]:
+        N = N or len(self.classes)
+        while True:
+            chosen = self.rng.choice(self.classes, size=N, replace=N > len(self.classes))
+            mels, labels = [], []
+            for c in chosen:
+                rows = self.by_class[int(c)]
+                idx = self.rng.integers(0, len(rows), size=M)
+                for i in idx:
+                    mels.append(self._load_crop(rows[int(i)]))
+                    labels.append(int(c))
+            yield dict(mels=np.stack(mels).astype(np.float32),
+                       labels=np.asarray(labels, np.int32), N=N, M=M)
+
+
+def disc_train(cfg: Config, input_path: str, base_dir: str, *,
+               kind: str = "emt", train_steps: int = 10000,
+               n_per_class: int = 8, loss_type: str = "softmax",
+               learning_rate: float = 1e-3,
+               checkpoint_interval: int = 1000):
+    """Train an emt/spk discriminator; checkpoints under disc_<kind>/."""
+    feeder = DiscFeeder(cfg, input_path, kind=kind)
+    use_ce = loss_type == "ce"
+    model = DiscriminatorModel(config=cfg, output_classes=feeder.n_classes,
+                               discriminator=use_ce)
+    it = feeder.batches(M=n_per_class)
+    batch = next(it)
+
+    variables = model.init(dict(params=jax.random.PRNGKey(0)),
+                           jnp.asarray(batch["mels"]), train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(learning_rate))
+    opt_state = tx.init(params)
+
+    N, M = batch["N"], batch["M"]
+
+    def loss_fn(p, bs, mels, labels):
+        (emb, logits), updates = model.apply(
+            {"params": p, "batch_stats": bs}, mels, train=True,
+            mutable=["batch_stats"])
+        if use_ce:
+            loss, acc = disc_ce_loss(logits, labels, feeder.n_classes)
+        else:
+            S = similarity_matrix(emb, p["w"], p["b"], N, M)
+            loss = ge2e_loss(S, N, M, loss_type)
+            acc = jnp.mean((jnp.argmax(S, -1) ==
+                            jnp.repeat(jnp.arange(N), M)).astype(jnp.float32))
+        return loss, (acc, updates["batch_stats"])
+
+    @jax.jit
+    def step(p, bs, opt, mels, labels):
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, mels, labels)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss, acc
+
+    ckpt_dir = os.path.join(base_dir, f"disc_{kind}")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=5)
+    loss_w, acc_w = ValueWindow(100), ValueWindow(100)
+    for i in range(1, train_steps + 1):
+        b = next(it)
+        params, batch_stats, opt_state, loss, acc = step(
+            params, batch_stats, opt_state, jnp.asarray(b["mels"]),
+            jnp.asarray(b["labels"]))
+        loss_w.append(float(loss))
+        acc_w.append(float(acc))
+        if i % 50 == 0 or i < 3:
+            log(f"disc[{kind}] step {i}: loss={loss_w.average:.4f} "
+                f"acc={acc_w.average:.3f}")
+        if i % checkpoint_interval == 0 or i == train_steps:
+            mgr.save(i, {"params": params, "batch_stats": batch_stats})
+    mgr.close()
+    log(f"Discriminator training done -> {ckpt_dir}")
+    return ckpt_dir, params
+
+
+def load_pretrained_disc(ckpt_dir: str, template_params) -> dict:
+    """Load a trained disc checkpoint for import into the Tacotron model."""
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore({"params": template_params, "batch_stats": {}})
+    mgr.close()
+    return restored["params"]

@@ -1,0 +1,185 @@
+"""Harness: checkpointing, synthesizers, discriminators, CLI pipeline."""
+
+import dataclasses
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.train.checkpoint import (CheckpointManager, partial_restore)
+from tacotron2_tpu.utils import ValueWindow
+
+from test_tacotron_model import RNGS, make_batch, tiny_config
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+TINY_HPARAMS = ",".join([
+    "tacotron.embedding_dim=32", "tacotron.enc_conv_num_layers=2",
+    "tacotron.enc_conv_channels=32", "tacotron.enc_conv_kernel_size=3",
+    "tacotron.encoder_lstm_units=16", "tacotron.attention_dim=16",
+    "tacotron.attention_filters=8", "tacotron.attention_kernel=7",
+    "tacotron.decoder_lstm_units=32", "tacotron.postnet_num_layers=2",
+    "tacotron.postnet_channels=32", "tacotron.postnet_kernel_size=3",
+    "tacotron.max_iters=50",
+    "gst.num_gst=4", "gst.num_heads=2", "gst.style_embed_depth=8",
+    "gst.style_att_dim=8", "gst.reference_filters=4+4", "gst.reference_depth=8",
+    "gst.n_emt=4", "gst.n_spk=3",
+    "train.tacotron_batch_size=4", "train.tacotron_test_size=0.25",
+    "train.checkpoint_interval=5", "train.eval_interval=1000",
+])
+
+
+def test_value_window():
+    w = ValueWindow(3)
+    for v in [1, 2, 3, 4]:
+        w.append(v)
+    assert w.count == 3
+    assert w.average == 3.0
+
+
+def test_plots(tmp_path):
+    from tacotron2_tpu.utils.plot import (plot_alignment, plot_spectrogram,
+                                          waveplot)
+    align = np.random.default_rng(0).random((20, 30))
+    plot_alignment(align, str(tmp_path / "a.png"), title="test align")
+    plot_spectrogram(np.random.default_rng(0).random((50, 80)),
+                     str(tmp_path / "s.png"),
+                     target_spectrogram=np.random.default_rng(1).random((50, 80)))
+    waveplot(str(tmp_path / "w.png"), np.sin(np.linspace(0, 20, 400)),
+             np.cos(np.linspace(0, 20, 400)), 16000)
+    for f in ["a.png", "s.png", "w.png"]:
+        assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+    cfg = tiny_config()
+    trainer = TacotronTrainer(cfg)
+    batch = make_batch(B=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(1))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    mgr.save(int(state.step), state)
+    assert mgr.latest_step() == 1
+    restored = mgr.restore(state)
+    mgr.close()
+    np.testing.assert_allclose(
+        np.asarray(restored.params["inputs_embedding"]["embedding"]),
+        np.asarray(state.params["inputs_embedding"]["embedding"]))
+    assert int(restored.step) == int(state.step)
+
+
+def test_partial_restore():
+    restored = {"a": {"kernel": jnp.ones(3)}, "pretrained_x": {"k": jnp.ones(2)}}
+    fresh = {"a": {"kernel": jnp.zeros(3)}, "pretrained_x": {"k": jnp.zeros(2)}}
+    out = partial_restore(restored, fresh, lambda n: "pretrained" in n)
+    np.testing.assert_allclose(np.asarray(out["a"]["kernel"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["pretrained_x"]["k"]), 0.0)
+
+
+def test_synthesizer_lengths_and_trim():
+    from tacotron2_tpu.synth.tacotron_synth import TacotronSynthesizer
+    cfg = tiny_config()
+    from tacotron2_tpu.models.tacotron.model import Tacotron
+    model = Tacotron(config=cfg)
+    batch = make_batch(B=2)
+    variables = model.init(RNGS, batch["inputs"], batch["input_lengths"],
+                           mel_targets=batch["mel_targets"],
+                           ref_mel_emt=batch["ref_mel_emt"],
+                           ref_mel_spk=batch["ref_mel_spk"], train=True)
+    synth = TacotronSynthesizer(cfg, variables["params"],
+                                variables.get("batch_stats", {}), model=model)
+    # stop recovery logic
+    stops = np.array([[0.1, 0.2, 0.9, 0.9], [0.1, 0.2, 0.3, 0.4]])
+    assert synth.get_output_lengths(stops) == [2, 4]
+
+    ref = np.asarray(batch["ref_mel_emt"][0])
+    result = synth.synthesize(["Hello world.", "Another one."],
+                              [ref, ref], [ref, ref], max_steps=8)
+    assert len(result["mels"]) == 2
+    r = cfg.tacotron.outputs_per_step
+    for mel, L in zip(result["mels"], result["lengths"]):
+        assert mel.shape == (max(L, 1), cfg.audio.num_mels)
+        assert mel.shape[0] <= 8 * r
+
+    # GTA mode: output length equals target length
+    tgt = [np.asarray(batch["mel_targets"][0]), np.asarray(batch["mel_targets"][1])[:10]]
+    res_gta = synth.synthesize(["a", "b"], [ref, ref], [ref, ref],
+                               mel_targets=tgt, gta=True)
+    assert res_gta["mels"][0].shape[0] == len(tgt[0])
+    assert res_gta["mels"][1].shape[0] == len(tgt[1])
+
+
+def test_ge2e_similarity_and_loss():
+    from tacotron2_tpu.disc.model import ge2e_loss, similarity_matrix
+    N, M, P = 3, 4, 8
+    rng = np.random.default_rng(0)
+    # well-separated clusters -> low loss; shuffled -> higher loss
+    centers = rng.normal(0, 1, (N, P))
+    emb = np.repeat(centers, M, axis=0) + 0.01 * rng.normal(0, 1, (N * M, P))
+    emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    S = similarity_matrix(jnp.asarray(emb), 10.0, -5.0, N, M)
+    assert S.shape == (N * M, N)
+    good = float(ge2e_loss(S, N, M, "softmax"))
+    perm = rng.permutation(N * M)
+    S_bad = similarity_matrix(jnp.asarray(emb[perm]), 10.0, -5.0, N, M)
+    bad = float(ge2e_loss(S_bad, N, M, "softmax"))
+    assert good < bad
+    # contrast variant is finite
+    assert np.isfinite(float(ge2e_loss(S, N, M, "contrast")))
+
+
+def test_disc_trainer_smoke(tmp_path):
+    from make_tiny_dataset import main as make_corpus
+    from tacotron2_tpu.disc.train import DiscFeeder, disc_train
+    corpus = make_corpus(str(tmp_path / "c"), n=16)
+    cfg = tiny_config()
+    feeder = DiscFeeder(cfg, os.path.join(corpus, "train.txt"), kind="emt",
+                        crop_frames=32)
+    assert feeder.n_classes == 4
+    b = next(feeder.batches(N=4, M=2))
+    assert b["mels"].shape == (8, 32, 80)
+    # short CE training run reaches better-than-chance accuracy
+    cfg80 = tiny_config()
+    cfg80 = cfg80.replace(audio=dataclasses.replace(cfg80.audio, num_mels=80))
+    ckpt_dir, params = disc_train(cfg80, os.path.join(corpus, "train.txt"),
+                                  str(tmp_path / "run"), kind="emt",
+                                  train_steps=30, n_per_class=2,
+                                  loss_type="ce")
+    assert os.path.isdir(ckpt_dir)
+
+
+@pytest.mark.slow
+def test_cli_pipeline(tmp_path):
+    """The CLI surface: preprocess → train Tacotron a few steps → eval synth."""
+    from make_tiny_dataset import main as make_corpus
+    corpus = make_corpus(str(tmp_path / "corpus"), n=12)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+
+    def run(*argv):
+        r = subprocess.run([sys.executable, "-m", "tacotron2_tpu.cli",
+                            "--base-dir", str(tmp_path / "run"),
+                            "--hparams", TINY_HPARAMS, *argv],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=500)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r
+
+    run("train", "--model", "Tacotron", "--input-path",
+        os.path.join(corpus, "train.txt"), "--train-steps", "3",
+        "--batch-size", "2")
+    ckpt = str(tmp_path / "run" / "logs-Tacotron" / "taco_pretrained")
+    assert os.path.isdir(ckpt)
+    run("synthesize", "--model", "Tacotron", "--mode", "eval",
+        "--checkpoint", ckpt, "--sentence", "Hello there.")
+    eval_dir = tmp_path / "run" / "tacotron_output" / "eval"
+    assert (eval_dir / "map.txt").exists()
+    wavs = list((eval_dir / "wavs").glob("*.wav"))
+    assert len(wavs) == 1 and wavs[0].stat().st_size > 1000

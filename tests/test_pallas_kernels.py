@@ -1,0 +1,69 @@
+"""Pallas kernel parity tests (TPU interpreter on CPU).
+
+The fused WaveNet sampler must match the XLA scan sampler exactly when
+sampling noise is suppressed (log-scale forced to -30 → sample == mean).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.models.wavenet.model import WaveNet
+from tacotron2_tpu.models.wavenet.sampler import incremental_sample
+from tacotron2_tpu.ops.wavenet_kernel import fused_incremental_sample
+
+
+def _setup(layers=4, B=2, frames=12):
+    cfg = Config()
+    cfg = cfg.replace(
+        wavenet=dataclasses.replace(
+            cfg.wavenet, layers=layers, stacks=2, residual_channels=128,
+            gate_channels=256, skip_out_channels=128, upsample_scales=(2, 2),
+            cin_channels=80),
+        audio=dataclasses.replace(cfg.audio, num_mels=80))
+    T = frames * 4
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(0, 1, (B, frames, 80)), jnp.float32)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
+        jnp.zeros((B, T, 1)), c, train=False)
+    params = variables["params"]
+    # suppress sampling noise: log-scale channel pinned to -30
+    fc2 = params["final_convolution_2"]["Dense_0"]
+    fc2["bias"] = fc2["bias"].at[1].set(-30.0)
+    fc2["kernel"] = fc2["kernel"].at[:, 1].set(0.0)
+    c_up = model.apply({"params": params}, c, method=WaveNet.upsample)
+    return cfg, params, c_up
+
+
+def test_fused_sampler_matches_xla_scan():
+    cfg, params, c_up = _setup()
+    s_ref, _ = incremental_sample(params, cfg, c_up, jax.random.PRNGKey(9))
+    s_fused = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fused_sampler_chunk_padding():
+    """T not a multiple of chunk: padded internally and trimmed."""
+    cfg, params, c_up = _setup(frames=13)  # T = 52, chunk 16 -> pad to 64
+    s_ref, _ = incremental_sample(params, cfg, c_up, jax.random.PRNGKey(9))
+    s_fused = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                       interpret=True)
+    assert s_fused.shape == s_ref.shape
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fused_sampler_rejects_mol():
+    cfg, params, c_up = _setup()
+    cfg_mol = cfg.replace(wavenet=dataclasses.replace(cfg.wavenet,
+                                                      out_channels=30))
+    with pytest.raises(AssertionError, match="Gaussian"):
+        fused_incremental_sample(params, cfg_mol, c_up, seed=0, interpret=True)
