@@ -41,7 +41,9 @@ class WaveNet(nn.Module):
     def setup(self):
         wn = self.config.wavenet
         self.scalar_input = is_scalar_input(wn.input_type)
-        self.first_conv = Conv1x1(wn.residual_channels, name="input_convolution")
+        wnorm, isc = wn.weight_normalization, wn.init_scale
+        self.first_conv = Conv1x1(wn.residual_channels, weight_norm=wnorm,
+                                  init_scale=isc, name="input_convolution")
         self.residual_layers = [
             ResidualConv1DGLU(
                 residual_channels=wn.residual_channels,
@@ -51,10 +53,13 @@ class WaveNet(nn.Module):
                 dilation=d, dropout=wn.dropout,
                 cin_channels=wn.cin_channels, gin_channels=wn.gin_channels,
                 use_bias=wn.use_bias, residual_legacy=wn.residual_legacy,
+                weight_norm=wnorm, init_scale=isc,
                 name=f"residual_block_{i}")
             for i, d in enumerate(wn.dilations)]
-        self.final_conv1 = Conv1x1(wn.skip_out_channels, name="final_convolution_1")
-        self.final_conv2 = Conv1x1(wn.out_channels, name="final_convolution_2")
+        self.final_conv1 = Conv1x1(wn.skip_out_channels, weight_norm=wnorm,
+                                   init_scale=isc, name="final_convolution_1")
+        self.final_conv2 = Conv1x1(wn.out_channels, weight_norm=wnorm,
+                                   init_scale=isc, name="final_convolution_2")
 
         if wn.cin_channels > 0:
             self.upsample_network = UpsampleNetwork(

@@ -25,33 +25,74 @@ import numpy as np
 glorot = nn.initializers.glorot_uniform()
 
 
+def weight_normed(v, g):
+    """Salimans-Kingma reparameterization: W = g · v/‖v‖ per output channel.
+
+    Reference: WeightNorm wrapper (modules.py:44-182). v has the kernel's
+    shape with the output channel last; g is [out].
+    """
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v ** 2, axis=axes, keepdims=True) + 1e-12)
+    return v * (g / norm)
+
+
 class CausalConv1D(nn.Module):
-    """Dilated causal conv over [B, T, C]: left-pad (kw-1)·dilation, VALID."""
+    """Dilated causal conv over [B, T, C]: left-pad (kw-1)·dilation, VALID.
+
+    With `weight_norm`, the kernel is reparameterized W = g·v/‖v‖ and g is
+    initialized so the initial W equals the glorot draw (init_scale applied),
+    matching the reference's non-data-dependent init path.
+    """
 
     filters: int
     kernel_size: int
     dilation: int = 1
     use_bias: bool = True
+    weight_norm: bool = False
+    init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         pad = (self.kernel_size - 1) * self.dilation
         x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-        return nn.Conv(self.filters, (self.kernel_size,),
-                       kernel_dilation=(self.dilation,), padding="VALID",
-                       use_bias=self.use_bias, kernel_init=glorot)(x)
+        if not self.weight_norm:
+            return nn.Conv(self.filters, (self.kernel_size,),
+                           kernel_dilation=(self.dilation,), padding="VALID",
+                           use_bias=self.use_bias, kernel_init=glorot)(x)
+        in_c = x.shape[-1]
+        v = self.param("v", glorot, (self.kernel_size, in_c, self.filters))
+        g = self.param("g", lambda key, shape: jnp.sqrt(
+            jnp.sum(v ** 2, axis=(0, 1))) * self.init_scale, (self.filters,))
+        kernel = weight_normed(v, g)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding="VALID",
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.filters,))
+        return y
 
 
 class Conv1x1(nn.Module):
-    """Pointwise conv — a Dense over the channel axis."""
+    """Pointwise conv — a Dense over the channel axis (optionally weight-normed)."""
 
     filters: int
     use_bias: bool = True
+    weight_norm: bool = False
+    init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.filters, use_bias=self.use_bias,
-                        kernel_init=glorot)(x)
+        if not self.weight_norm:
+            return nn.Dense(self.filters, use_bias=self.use_bias,
+                            kernel_init=glorot)(x)
+        v = self.param("v", glorot, (x.shape[-1], self.filters))
+        g = self.param("g", lambda key, shape: jnp.sqrt(
+            jnp.sum(v ** 2, axis=0)) * self.init_scale, (self.filters,))
+        y = x @ weight_normed(v, g)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.filters,))
+        return y
 
 
 class ResidualConv1DGLU(nn.Module):
@@ -70,29 +111,34 @@ class ResidualConv1DGLU(nn.Module):
     gin_channels: int = -1
     use_bias: bool = True
     residual_legacy: bool = True
+    weight_norm: bool = False
+    init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, c=None, g=None, *, train: bool):
+        wn, sc = self.weight_norm, self.init_scale
         residual = x
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = CausalConv1D(self.gate_channels, self.kernel_size, self.dilation,
-                         self.use_bias, name="causal_conv")(x)
+                         self.use_bias, wn, sc, name="causal_conv")(x)
         a, b = jnp.split(x, 2, axis=-1)
 
         if c is not None:
             ca, cb = jnp.split(
-                Conv1x1(self.gate_channels, self.use_bias, name="cin_conv")(c),
-                2, axis=-1)
+                Conv1x1(self.gate_channels, self.use_bias, wn, sc,
+                        name="cin_conv")(c), 2, axis=-1)
             a, b = a + ca, b + cb
         if g is not None:
             ga, gb = jnp.split(
-                Conv1x1(self.gate_channels, self.use_bias, name="gin_conv")(g),
-                2, axis=-1)
+                Conv1x1(self.gate_channels, self.use_bias, wn, sc,
+                        name="gin_conv")(g), 2, axis=-1)
             a, b = a + ga, b + gb
 
         x = jnp.tanh(a) * jax.nn.sigmoid(b)
-        s = Conv1x1(self.skip_out_channels, self.use_bias, name="skip_conv")(x)
-        x = Conv1x1(self.residual_channels, self.use_bias, name="out_conv")(x)
+        s = Conv1x1(self.skip_out_channels, self.use_bias, wn, sc,
+                    name="skip_conv")(x)
+        x = Conv1x1(self.residual_channels, self.use_bias, wn, sc,
+                    name="out_conv")(x)
         if self.residual_legacy:
             x = (x + residual) * np.sqrt(0.5)
         else:

@@ -50,8 +50,23 @@ class SamplerParams(NamedTuple):
     final2_b: jnp.ndarray
 
 
+def _effective_kernel(p):
+    """Resolve plain or weight-normed params to the effective kernel.
+
+    Weight norm (modules.weight_normed): W = g·v/‖v‖ per output channel.
+    """
+    if "kernel" in p:
+        return p["kernel"]
+    v, g = p["v"], p["g"]
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v ** 2, axis=axes, keepdims=True) + 1e-12)
+    return v * (g / norm)
+
+
 def _dense(p):
-    return p["kernel"], p.get("bias")
+    if "Dense_0" in p:
+        p = p["Dense_0"]
+    return _effective_kernel(p), p.get("bias")
 
 
 def extract_sampler_params(params, cfg: Config) -> SamplerParams:
@@ -65,22 +80,25 @@ def extract_sampler_params(params, cfg: Config) -> SamplerParams:
     layers = []
     for i in range(wn.layers):
         p = params[f"residual_block_{i}"]
-        ck = p["causal_conv"]["Conv_0"]["kernel"]          # [kw, R, gate]
-        kw, R, gate = ck.shape
+        cc = p["causal_conv"]
+        if "Conv_0" in cc:
+            ck, conv_b = cc["Conv_0"]["kernel"], cc["Conv_0"].get("bias")
+        else:  # weight-normed causal conv (v/g at module level)
+            ck, conv_b = _effective_kernel(cc), cc.get("bias")
+        kw, R, gate = ck.shape                             # [kw, R, gate]
         conv_w = ck.reshape(kw * R, gate)
-        conv_b = p["causal_conv"]["Conv_0"].get("bias")
         cin_w = cin_b = gin_w = gin_b = None
         if "cin_conv" in p:
-            cin_w, cin_b = _dense(p["cin_conv"]["Dense_0"])
+            cin_w, cin_b = _dense(p["cin_conv"])
         if "gin_conv" in p:
-            gin_w, gin_b = _dense(p["gin_conv"]["Dense_0"])
-        skip_w, skip_b = _dense(p["skip_conv"]["Dense_0"])
-        out_w, out_b = _dense(p["out_conv"]["Dense_0"])
+            gin_w, gin_b = _dense(p["gin_conv"])
+        skip_w, skip_b = _dense(p["skip_conv"])
+        out_w, out_b = _dense(p["out_conv"])
         layers.append(LayerParams(conv_w, conv_b, cin_w, cin_b, gin_w, gin_b,
                                   skip_w, skip_b, out_w, out_b))
-    fw, fb = _dense(params["input_convolution"]["Dense_0"])
-    f1w, f1b = _dense(params["final_convolution_1"]["Dense_0"])
-    f2w, f2b = _dense(params["final_convolution_2"]["Dense_0"])
+    fw, fb = _dense(params["input_convolution"])
+    f1w, f1b = _dense(params["final_convolution_1"])
+    f2w, f2b = _dense(params["final_convolution_2"])
     return SamplerParams(fw, fb, tuple(layers), f1w, f1b, f2w, f2b)
 
 

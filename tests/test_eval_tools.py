@@ -1,0 +1,57 @@
+"""Evaluation harness: WER, confusion matrices, embedding exports."""
+
+import numpy as np
+
+from tacotron2_tpu.eval.analyze import (confusion_matrix,
+                                        export_style_embeddings_tsv,
+                                        plot_confusion_matrix,
+                                        plot_embedding_clusters)
+from tacotron2_tpu.eval.wer import corpus_wer, edit_distance, wer
+
+
+def test_wer_basics():
+    assert wer("the cat sat", "the cat sat") == 0.0
+    assert wer("the cat sat", "the cat") == 1 / 3          # one deletion
+    assert wer("the cat sat", "the dog sat") == 1 / 3      # one substitution
+    assert wer("the cat", "the big cat") == 1 / 2          # one insertion
+    # punctuation/case insensitive
+    assert wer("Hello, World!", "hello world") == 0.0
+
+
+def test_edit_distance_components():
+    S, D, I, H = edit_distance("a b c d".split(), "a x c".split())
+    assert (S, D, I, H) == (1, 1, 0, 2)
+
+
+def test_corpus_wer():
+    res = corpus_wer([("the cat sat", "the cat sat"),
+                      ("a b c d", "a x c")])
+    assert res["n_utterances"] == 2
+    assert res["n_words"] == 7
+    np.testing.assert_allclose(res["wer"], 2 / 7)
+
+
+def test_confusion_matrix(tmp_path):
+    labels = [0, 0, 1, 1, 2, 2]
+    preds = [0, 1, 1, 1, 2, 0]
+    cm = confusion_matrix(labels, preds, 3)
+    assert cm.tolist() == [[1, 1, 0], [0, 2, 0], [1, 0, 1]]
+    norm = plot_confusion_matrix(cm, str(tmp_path / "cm.png"),
+                                 class_names=["n", "h", "s"])
+    assert (tmp_path / "cm.png").stat().st_size > 1000
+    np.testing.assert_allclose(norm.sum(axis=1), 1.0)
+
+
+def test_embedding_plots_and_export(tmp_path):
+    rng = np.random.default_rng(0)
+    emb = np.concatenate([rng.normal(i * 3, 0.2, (10, 16)) for i in range(3)])
+    labels = np.repeat(np.arange(3), 10)
+    proj = plot_embedding_clusters(emb, labels, str(tmp_path / "emb.png"))
+    assert proj.shape == (30, 2)
+    # clusters remain separated in the projection
+    c0 = proj[labels == 0].mean(axis=0)
+    c2 = proj[labels == 2].mean(axis=0)
+    assert np.linalg.norm(c0 - c2) > 1.0
+    ep, mp = export_style_embeddings_tsv(emb, [(i, f"utt{i}") for i in range(30)],
+                                         str(tmp_path))
+    assert np.loadtxt(ep, delimiter="\t").shape == (30, 16)

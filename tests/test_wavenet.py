@@ -163,3 +163,23 @@ def test_gaussian_distribution():
     assert lg < lb
     s = D.sample_from_gaussian(jax.random.PRNGKey(0), good)
     assert np.abs(np.asarray(s)).max() <= 1.0
+
+
+def test_weight_normalization():
+    """WN reparam: initial effective kernel ≈ glorot draw; incremental parity
+    holds with weight-normed params."""
+    cfg = tiny_wn_config(weight_normalization=True)
+    model, variables, x, c, T = init_model(cfg)
+    p = variables["params"]["residual_block_0"]["skip_conv"]
+    assert "v" in p and "g" in p  # reparameterized
+    out = model.apply(variables, x, c, train=False)
+    assert np.isfinite(np.asarray(out.y_hat)).all()
+    # incremental sampler resolves effective kernels
+    c_up = model.apply(variables, c, method=WaveNet.upsample)
+    B = x.shape[0]
+    test_inputs = jnp.concatenate([x[:, 1:, :], jnp.zeros((B, 1, 1))], axis=1)
+    _, y_hat = incremental_sample(
+        variables["params"], cfg, c_up, jax.random.PRNGKey(3),
+        initial_input=x[:, 0, :], test_inputs=test_inputs)
+    np.testing.assert_allclose(np.asarray(y_hat), np.asarray(out.y_hat),
+                               atol=2e-4, rtol=1e-3)
