@@ -50,6 +50,21 @@ def cmd_preprocess(args):
     write_metadata(rows, args.out_dir, cfg)
 
 
+def cmd_wavenet_preprocess(args):
+    from .data.preprocess import wavenet_build_from_path, write_wavenet_metadata
+    cfg = get_config(args.preset, args.hparams)
+    rows = wavenet_build_from_path(cfg, args.in_dir, args.out_dir,
+                                   n_jobs=args.n_jobs, serial=args.serial,
+                                   limit=args.limit)
+    write_wavenet_metadata(rows, args.out_dir, cfg)
+
+
+def cmd_create_metadata(args):
+    from .data.preprocess import create_metadata
+    create_metadata(args.in_dir, args.out_path, layout=args.layout,
+                    emt_label=args.emt_label, sex=args.sex)
+
+
 def cmd_train(args):
     cfg = get_config(args.preset, args.hparams)
     log_dir = os.path.join(args.base_dir, f"logs-{args.model}")
@@ -58,6 +73,8 @@ def cmd_train(args):
                  args.slack_url)
     log(cfg.debug_string() if args.verbose else f"Training {args.model}")
 
+    profile_kwargs = dict(profile_start=args.profile_start,
+                          profile_end=args.profile_end)
     feeder_kwargs = dict(emt_only=args.emt_only,
                          intercross_both=args.intercross_both,
                          unpaired=args.unpaired,
@@ -74,12 +91,13 @@ def cmd_train(args):
                        train_steps=args.train_steps, restore=args.restore,
                        batch_size=args.batch_size,
                        feeder_kwargs=feeder_kwargs,
-                       trainer_kwargs=trainer_kwargs)
+                       trainer_kwargs=trainer_kwargs, **profile_kwargs)
     elif args.model == "WaveNet":
         from .train.wavenet_train import wavenet_train
         wavenet_train(cfg, args.input_path, log_dir,
                       train_steps=args.train_steps, restore=args.restore,
-                      gta=not args.no_gta, batch_size=args.batch_size)
+                      gta=not args.no_gta, batch_size=args.batch_size,
+                      **profile_kwargs)
     elif args.model == "Tacotron-2":
         _train_sequencer(cfg, args, log_dir, feeder_kwargs, trainer_kwargs)
     else:
@@ -162,7 +180,10 @@ def cmd_synthesize(args):
 
     if args.model in ("Tacotron", "Tacotron-2"):
         from .synth.tacotron_synth import (TacotronSynthesizer, run_eval,
-                                           run_gta_synthesis)
+                                           run_gta_synthesis,
+                                           run_style_embs,
+                                           run_style_transfer,
+                                           run_synthesis_random)
         from .train.checkpoint import CheckpointManager
         from .train.tacotron_step import TacotronTrainer
 
@@ -188,11 +209,28 @@ def cmd_synthesize(args):
         if args.mode == "gta":
             map_path = run_gta_synthesis(synth, args.input_path, out_dir,
                                          limit=args.limit)
+        elif args.mode == "synthesis":
+            input_dir = args.input_dir or os.path.dirname(args.input_path or "")
+            map_path = run_style_transfer(
+                synth, args.synth_metadata or args.input_path, input_dir,
+                out_dir, flip_spk_emt=args.flip_spk_emt, limit=args.limit)
+        elif args.mode == "synthesis_random":
+            input_dir = args.input_dir or os.path.dirname(args.input_path or "")
+            map_path = run_synthesis_random(
+                synth, args.input_path, input_dir, out_dir,
+                paired=args.paired)
+        elif args.mode == "style_embs":
+            input_dir = args.input_dir or os.path.dirname(args.input_path or "")
+            map_path = run_style_embs(
+                synth, args.input_path, input_dir, out_dir,
+                n_spk=args.n_spk, n_per_spk=args.n_per_spk)
         else:
             refs = [ref] * len(sentences)
             refs_spk = [ref_spk] * len(sentences)
             map_path = run_eval(synth, sentences, refs, refs_spk, out_dir)
         log(f"tacotron synthesis done -> {map_path}")
+        if args.mode in ("synthesis_random", "style_embs"):
+            return
 
     if args.model in ("WaveNet", "Tacotron-2"):
         from .synth.wavenet_synth import WaveNetSynthesizer, run_synthesis
@@ -243,6 +281,14 @@ def cmd_disc_train(args):
                loss_type=args.loss_type)
 
 
+def cmd_disc_test(args):
+    from .disc.train import disc_test
+    cfg = get_config(args.preset, args.hparams)
+    disc_test(cfg, args.checkpoint, args.map_path,
+              args.output_dir or os.path.join(args.base_dir, "disc_test"),
+              kind=args.kind, n_classes=args.n_classes)
+
+
 DEFAULT_SENTENCES = [
     "Scientists at the CERN laboratory say they have discovered a new particle.",
     "Generative adversarial network or variational auto-encoder.",
@@ -272,6 +318,26 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--limit", type=int, default=None)
     pp.set_defaults(func=cmd_preprocess)
 
+    wp = sub.add_parser("wavenet-preprocess",
+                        help="wav folder -> audio/mel npy + map.txt "
+                             "(non-GTA vocoder training)")
+    wp.add_argument("--in-dir", required=True)
+    wp.add_argument("--out-dir", required=True)
+    wp.add_argument("--n-jobs", type=int, default=os.cpu_count())
+    wp.add_argument("--serial", action="store_true")
+    wp.add_argument("--limit", type=int, default=None)
+    wp.set_defaults(func=cmd_wavenet_preprocess)
+
+    cm = sub.add_parser("create-metadata",
+                        help="corpus layout -> metadata_<ds>.txt manifest")
+    cm.add_argument("--in-dir", required=True)
+    cm.add_argument("--out-path", required=True)
+    cm.add_argument("--layout", default="ljspeech",
+                    choices=["ljspeech", "folders"])
+    cm.add_argument("--emt-label", type=int, default=0)
+    cm.add_argument("--sex", default="U")
+    cm.set_defaults(func=cmd_create_metadata)
+
     tr = sub.add_parser("train")
     tr.add_argument("--model", default="Tacotron",
                     choices=["Tacotron", "WaveNet", "Tacotron-2"])
@@ -285,6 +351,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--no-gta", action="store_true")
     tr.add_argument("--slack-url", default=None)
     tr.add_argument("--verbose", action="store_true")
+    tr.add_argument("--profile-start", type=int, default=None,
+                    help="step at which to start a jax.profiler device trace")
+    tr.add_argument("--profile-end", type=int, default=None)
     # fork feature flags (reference train.py:94-158)
     for flag in ["emt-only", "intercross-both", "unpaired", "adv-emb-disc",
                  "nat-gan", "opt-ref-no-mo", "pretrained-emb-disc",
@@ -295,7 +364,18 @@ def build_parser() -> argparse.ArgumentParser:
     sy = sub.add_parser("synthesize")
     sy.add_argument("--model", default="Tacotron-2",
                     choices=["Tacotron", "WaveNet", "Tacotron-2"])
-    sy.add_argument("--mode", default="eval", choices=["eval", "gta", "synthesis"])
+    sy.add_argument("--mode", default="eval",
+                    choices=["eval", "gta", "synthesis", "synthesis_random",
+                             "style_embs"])
+    sy.add_argument("--synth-metadata", default=None,
+                    help="synthesis-mode metadata file (train.txt schema + "
+                         "ref columns 12/14)")
+    sy.add_argument("--input-dir", default=None,
+                    help="preprocessed data root for ref mel resolution")
+    sy.add_argument("--flip-spk-emt", action="store_true")
+    sy.add_argument("--paired", action="store_true")
+    sy.add_argument("--n-spk", type=int, default=8)
+    sy.add_argument("--n-per-spk", type=int, default=8)
     sy.add_argument("--checkpoint", default=None)
     sy.add_argument("--wavenet-checkpoint", default=None)
     sy.add_argument("--input-path", default=None, help="train.txt for gta mode")
@@ -325,6 +405,17 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument("--loss-type", default="softmax",
                     choices=["softmax", "contrast", "ce"])
     dt.set_defaults(func=cmd_disc_train)
+
+    dx = sub.add_parser("disc-test",
+                        help="classify synthesized mels with a trained "
+                             "discriminator (reference spk_disc test_disc)")
+    dx.add_argument("--checkpoint", required=True)
+    dx.add_argument("--map-path", required=True,
+                    help="synthesis map.txt or train.txt")
+    dx.add_argument("--kind", default="emt", choices=["emt", "spk"])
+    dx.add_argument("--n-classes", type=int, default=None)
+    dx.add_argument("--output-dir", default=None)
+    dx.set_defaults(func=cmd_disc_test)
     return p
 
 

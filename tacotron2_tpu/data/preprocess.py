@@ -167,6 +167,153 @@ def build_from_path(cfg: Config, metadata_path: str, in_dir: str, out_dir: str,
     return [r for r in results if r is not None]
 
 
+def wavenet_process_utterance(wav_path: str, index: str, cfg: AudioConfig,
+                              mel_dir: str, wav_dir: str,
+                              input_type: str = "raw",
+                              quantize_channels: int = 2 ** 16
+                              ) -> Optional[Tuple]:
+    """One wav → (audio.npy, mel.npy) pair for standalone (non-GTA) vocoder
+    training. Reference: wavenet_preprocessor._process_utterance
+    (datasets/wavenet_preprocessor.py:39-156)."""
+    try:
+        aud = audio.load_wav(wav_path, cfg.sample_rate)
+    except (FileNotFoundError, OSError):
+        print(f"missing wav {wav_path}; skipping")
+        return None
+    if cfg.trim_silence:
+        aud = audio.trim_silence(aud, cfg)
+    preem = audio.preemphasis(aud, cfg.preemphasis, cfg.preemphasize)
+    if cfg.rescale:
+        aud = aud / np.abs(aud).max() * cfg.rescaling_max
+        preem = preem / np.abs(preem).max() * cfg.rescaling_max
+
+    if mulaw_ops.is_mulaw_quantize(input_type):
+        out = np.asarray(mulaw_ops.mulaw_quantize(aud, quantize_channels - 1))
+        start, end = audio.start_and_end_indices(out, cfg.silence_threshold)
+        aud, preem, out = aud[start:end], preem[start:end], out[start:end]
+        constant = int(mulaw_ops.mulaw_quantize(np.zeros(1),
+                                                quantize_channels - 1)[0])
+        out_dtype = np.int16
+    elif mulaw_ops.is_mulaw(input_type):
+        out = np.asarray(mulaw_ops.mulaw(aud, quantize_channels - 1))
+        constant = float(mulaw_ops.mulaw(np.zeros(1), quantize_channels - 1)[0])
+        out_dtype = np.float32
+    else:
+        out, constant, out_dtype = aud, 0.0, np.float32
+
+    mel = audio.mel_spectrogram(preem, cfg).astype(np.float32)
+    mel_frames = mel.shape[0]
+    if cfg.clip_mels_length and mel_frames > cfg.max_mel_frames:
+        return None
+    l_pad, r_pad = audio.pad_lr(aud, cfg)
+    out = np.pad(out, (l_pad, r_pad), mode="constant", constant_values=constant)
+    out = out[: mel_frames * cfg.effective_hop]
+    assert len(out) % cfg.effective_hop == 0
+    time_steps = len(out)
+
+    audio_filename = os.path.join(wav_dir, f"audio-{index}.npy")
+    mel_filename = os.path.join(mel_dir, f"mel-{index}.npy")
+    np.save(audio_filename, out.astype(out_dtype), allow_pickle=False)
+    np.save(mel_filename, mel, allow_pickle=False)
+    # 6-field map row: audio|mel|mel|speaker_id|time_steps|mel_frames
+    # (wavenet_preprocessor.py:149-156)
+    return (audio_filename, mel_filename, mel_filename, "<no_g>",
+            time_steps, mel_frames)
+
+
+def wavenet_build_from_path(cfg: Config, input_dir: str, out_dir: str,
+                            n_jobs: int = os.cpu_count() or 4,
+                            serial: bool = False,
+                            limit: Optional[int] = None) -> List[Tuple]:
+    """Whole wav folder → audio/mel npy pairs + map rows for non-GTA vocoder
+    training. Reference: wavenet_preprocess.preprocess
+    (code/wavenet_preprocess.py:10-16)."""
+    # absolute paths so the map rows resolve regardless of the training cwd
+    # (the feeder joins relative rows against the map's own directory)
+    out_dir = os.path.abspath(out_dir)
+    mel_dir = os.path.join(out_dir, "mels")
+    wav_dir = os.path.join(out_dir, "audio")
+    os.makedirs(mel_dir, exist_ok=True)
+    os.makedirs(wav_dir, exist_ok=True)
+    wavs = sorted(f for f in os.listdir(input_dir) if f.endswith(".wav"))
+    if limit:
+        wavs = wavs[:limit]
+    jobs = [(os.path.join(input_dir, f), os.path.splitext(f)[0])
+            for f in wavs]
+    fn = partial(_wavenet_job, cfg=cfg, mel_dir=mel_dir, wav_dir=wav_dir)
+    if serial:
+        results = [fn(j) for j in jobs]
+    else:
+        with ProcessPoolExecutor(max_workers=n_jobs) as ex:
+            results = list(ex.map(fn, jobs))
+    return [r for r in results if r is not None]
+
+
+def _wavenet_job(job, cfg: Config, mel_dir: str, wav_dir: str):
+    wav_path, index = job
+    return wavenet_process_utterance(
+        wav_path, index, cfg.audio, mel_dir, wav_dir,
+        input_type=cfg.wavenet.input_type,
+        quantize_channels=cfg.wavenet.quantize_channels)
+
+
+def write_wavenet_metadata(rows: Sequence[Tuple], out_dir: str,
+                           cfg: Config) -> str:
+    """Write map.txt + stats (reference wavenet_preprocess.py:18-29)."""
+    path = os.path.join(out_dir, "map.txt")
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("|".join(str(x) for x in r) + "\n")
+    steps = sum(int(r[4]) for r in rows)
+    hours = steps / cfg.audio.sample_rate / 3600
+    print(f"Wrote {len(rows)} utterances, {steps} audio timesteps "
+          f"({hours:.2f} hours) -> {path}")
+    return path
+
+
+def create_metadata(in_dir: str, out_path: str, layout: str = "ljspeech",
+                    emt_label: int = 0, sex: str = "U") -> str:
+    """Generic corpus-manifest builder replacing the reference's per-corpus
+    `create_metadata_*` one-offs (datasets/metadata.py:12-261). Emits
+    `path|text|emt_label|spk_id|sex` rows consumable by `build_from_path`.
+
+    Layouts:
+    - ljspeech: `metadata.csv` rows `id|raw_text|normalized_text`, wavs under
+      `wavs/` — single speaker, neutral emotion.
+    - folders: one subdirectory per speaker, each with `*.wav` + matching
+      `*.txt` transcripts (vctk/librispeech-style flattened).
+    """
+    rows = []
+    if layout == "ljspeech":
+        with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split("|")
+                if len(parts) < 2:
+                    continue
+                text = parts[2] if len(parts) > 2 else parts[1]
+                rows.append(f"wavs/{parts[0]}.wav|{text}|{emt_label}|0|{sex}")
+    elif layout == "folders":
+        for spk in sorted(os.listdir(in_dir)):
+            spk_dir = os.path.join(in_dir, spk)
+            if not os.path.isdir(spk_dir):
+                continue
+            for f in sorted(os.listdir(spk_dir)):
+                if not f.endswith(".wav"):
+                    continue
+                txt = os.path.join(spk_dir, f[:-4] + ".txt")
+                if not os.path.exists(txt):
+                    continue
+                with open(txt, encoding="utf-8") as tf:
+                    text = tf.read().strip()
+                rows.append(f"{spk}/{f}|{text}|{emt_label}|{spk}|{sex}")
+    else:
+        raise ValueError(f"unknown layout {layout}")
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"Wrote {len(rows)} metadata rows -> {out_path}")
+    return out_path
+
+
 def write_metadata(rows: Sequence[Tuple], out_dir: str, cfg: Config,
                    filename: str = "train.txt") -> str:
     """Write train.txt + summary stats (reference preprocess.py:54-76)."""

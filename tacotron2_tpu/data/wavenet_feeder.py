@@ -70,10 +70,13 @@ class WaveNetFeeder:
     def _resolve(self, row, kind: str) -> str:
         """Map a metadata row to an audio/mel npy path.
 
-        GTA map.txt: `audio_path|mel_path|gta_mel_path|...`; train.txt:
-        12-field preprocessing row with filenames under dataset subdirs.
+        GTA map.txt: `audio_path|gt_mel|gta_mel|time_steps|text` (5 fields);
+        standalone wavenet-preprocess map.txt:
+        `audio|mel|mel|speaker_id|time_steps|mel_frames` (6 fields, paths are
+        .npy); train.txt: 12-field preprocessing row with filenames under
+        dataset subdirs.
         """
-        if self.gta and len(row) < 6:
+        if row[0].endswith(".npy"):
             path = row[0] if kind == "audio" else row[2 if len(row) > 2 else 1]
             return path if os.path.isabs(path) else os.path.join(self.base_dir, path)
         # train.txt row

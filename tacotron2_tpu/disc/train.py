@@ -136,3 +136,71 @@ def load_pretrained_disc(ckpt_dir: str, template_params) -> dict:
     restored = mgr.restore({"params": template_params, "batch_stats": {}})
     mgr.close()
     return restored["params"]
+
+
+def disc_test(cfg: Config, ckpt_dir: str, map_path: str, out_dir: str, *,
+              kind: str = "emt", n_classes: Optional[int] = None,
+              crop_frames: int = 128, batch_size: int = 100):
+    """Classify synthesized (or real) mels with a trained discriminator and
+    report accuracy + a confusion matrix (reference spk_disc/model.py
+    test_disc, ~:193-260).
+
+    `map_path` rows are either synthesis maps `mel_path|text|emt|spk` (from
+    run_style_transfer / run_eval) or full train.txt rows; mel paths in train
+    rows resolve under `<data_dir>/<dataset>/mels/`.
+    """
+    from ..eval.analyze import confusion_matrix, plot_confusion_matrix
+
+    with open(map_path, encoding="utf-8") as f:
+        rows = [line.strip().split("|") for line in f if line.strip()]
+    data_dir = os.path.dirname(map_path)
+    label_col = (2 if kind == "emt" else 3) if rows and rows[0][0].endswith(
+        ".npy") else (8 if kind == "emt" else 9)
+
+    def mel_path(r):
+        if r[0].endswith(".npy"):
+            if os.path.isabs(r[0]) or os.path.exists(r[0]):
+                return r[0]
+            return os.path.join(data_dir, r[0])
+        return os.path.join(data_dir, r[0], "mels", r[2])
+
+    labels = [int(float(r[label_col])) for r in rows]
+    n_cls = n_classes or max(labels) + 1
+    model = DiscriminatorModel(config=cfg, output_classes=n_cls,
+                               discriminator=True)
+    dummy = jnp.zeros((1, crop_frames, cfg.audio.num_mels), jnp.float32)
+    variables = model.init(dict(params=jax.random.PRNGKey(0)), dummy,
+                           train=False)
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore({"params": variables["params"],
+                            "batch_stats": variables.get("batch_stats", {})})
+    mgr.close()
+
+    apply_fn = jax.jit(lambda v, m: model.apply(v, m, train=False))
+    pad_val = -cfg.audio.max_abs_value
+    preds, correct = [], 0
+    for start in range(0, len(rows), batch_size):
+        chunk = rows[start:start + batch_size]
+        mels = []
+        for r in chunk:
+            mel = np.load(mel_path(r))[:crop_frames]
+            if len(mel) < crop_frames:
+                mel = np.pad(mel, ((0, crop_frames - len(mel)), (0, 0)),
+                             constant_values=pad_val)
+            mels.append(mel)
+        _, logits = apply_fn(restored, jnp.asarray(np.stack(mels), jnp.float32))
+        preds.extend(np.argmax(np.asarray(logits), -1).tolist())
+    correct = sum(int(p == l) for p, l in zip(preds, labels))
+    acc = correct / max(len(labels), 1)
+
+    os.makedirs(out_dir, exist_ok=True)
+    cm = confusion_matrix(labels, preds, n_cls)
+    plot_confusion_matrix(cm, os.path.join(out_dir, f"confusion_{kind}.png"))
+    with open(os.path.join(out_dir, f"disc_test_{kind}.csv"), "w",
+              encoding="utf-8") as f:
+        f.write("mel,true,pred\n")
+        for r, l, p in zip(rows, labels, preds):
+            f.write(f"{mel_path(r)},{l},{p}\n")
+    log(f"disc-test[{kind}]: acc={acc:.3f} over {len(labels)} samples "
+        f"-> {out_dir}")
+    return acc, cm

@@ -145,6 +145,28 @@ class TacotronSynthesizer:
         return host_audio.inv_preemphasis(wav, self.cfg.audio.preemphasis,
                                           self.cfg.audio.preemphasize)
 
+    def embed(self, texts: Sequence[str], mel_refs: Sequence[np.ndarray]
+              ) -> Dict[str, np.ndarray]:
+        """Embed-only pass (reference synthesizer `emb_only=True`): teacher-
+        force on the reference mels themselves and return the ref-encoder
+        embeddings of both the real refs and the re-embedded model output
+        (tacotron/synthesize.py:363-372, tacotron.py:383-386)."""
+        inputs, input_lengths = self.prepare_inputs(texts)
+        refs = self._pad_refs(mel_refs)
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        out = self.model.apply(
+            variables, inputs, input_lengths, mel_targets=refs,
+            ref_mel_emt=refs, ref_mel_spk=refs, gta=True, train=False,
+            synth_embeddings=True, rngs=self._rngs())
+        return dict(
+            emb_emt=np.asarray(out.refnet_out_emt),
+            emb_spk=(np.asarray(out.refnet_out_spk)
+                     if out.refnet_out_spk is not None else None),
+            emb_mo_emt=(np.asarray(out.refnet_out_mel_emt)
+                        if out.refnet_out_mel_emt is not None else None),
+            emb_mo_spk=(np.asarray(out.refnet_out_mel_spk)
+                        if out.refnet_out_mel_spk is not None else None))
+
 
 # ------------------------------------------------------------------- drivers
 
@@ -154,7 +176,8 @@ def run_eval(synth: TacotronSynthesizer, sentences: Sequence[str],
              save_wavs: bool = True) -> str:
     """Sentences → mels + map.txt (+wavs/plots); reference run_eval
     (tacotron/synthesize.py:53-83)."""
-    eval_dir = os.path.join(output_dir, "eval")
+    # absolute so map rows resolve regardless of the consumer's cwd
+    eval_dir = os.path.abspath(os.path.join(output_dir, "eval"))
     os.makedirs(os.path.join(eval_dir, "mels"), exist_ok=True)
     if save_wavs:
         os.makedirs(os.path.join(eval_dir, "wavs"), exist_ok=True)
@@ -196,9 +219,9 @@ def run_gta_synthesis(synth: TacotronSynthesizer, metadata_path: str,
     Reference: run_synthesis (tacotron/synthesize.py GTA mode) writing
     tacotron_output/gta/map.txt rows `audio|gt_mel|gta_mel|time_steps|text`.
     """
-    gta_dir = os.path.join(output_dir, "gta")
+    gta_dir = os.path.abspath(os.path.join(output_dir, "gta"))
     os.makedirs(os.path.join(gta_dir, "mels"), exist_ok=True)
-    data_dir = os.path.dirname(metadata_path)
+    data_dir = os.path.abspath(os.path.dirname(metadata_path))
     with open(metadata_path, encoding="utf-8") as f:
         meta = [line.strip().split("|") for line in f if line.strip()]
     if limit:
@@ -223,3 +246,222 @@ def run_gta_synthesis(synth: TacotronSynthesizer, metadata_path: str,
         f.write("\n".join(map_rows) + "\n")
     log(f"Wrote GTA map -> {map_path}")
     return map_path
+
+
+def _read_meta(path: str) -> List[List[str]]:
+    with open(path, encoding="utf-8") as f:
+        return [line.strip().split("|") for line in f
+                if line.strip() and not line.startswith("#")]
+
+
+def _resolve_refs(meta: List[List[str]], input_dir: str,
+                  flip_spk_emt: bool = False):
+    """Resolve per-row emotion/speaker reference mel paths from a synthesis
+    metadata file (reference get_filenames_from_metadata,
+    tacotron/synthesize.py:85-129).
+
+    Rows use the train.txt schema with two extra columns appended:
+      [12] emt ref — 'same' (use own mel) or 'dataset/mel-file.npy'
+      [14] spk ref — 'same' or 'dataset/mel-file.npy'
+    Unlike the reference (which hard-codes emt refs to emt4/emth and spk refs
+    to jessa), refs name their dataset explicitly, keeping the policy generic.
+    """
+    texts, mel_paths, refs_emt, refs_spk, basenames = [], [], [], [], []
+    emt_labels, spk_labels = [], []
+    for m in meta:
+        own = os.path.join(input_dir, m[0], "mels", m[2])
+        texts.append(m[7])
+        mel_paths.append(own)
+
+        def ref_path(spec):
+            if spec == "same":
+                return own
+            ds, _, fname = spec.partition("/")
+            return os.path.join(input_dir, ds, "mels", fname)
+
+        emt_spec = m[12] if len(m) > 12 else "same"
+        spk_spec = m[14] if len(m) > 14 else "same"
+        refs_emt.append(ref_path(emt_spec))
+        refs_spk.append(ref_path(spk_spec))
+        ref_tag = m[13] if len(m) > 13 else "same"
+        basenames.append(f"{m[10].split('.')[0]}_{ref_tag}")
+        emt_labels.append(int(m[8]))
+        spk_labels.append(int(m[9]))
+    if flip_spk_emt:
+        refs_emt, refs_spk = refs_spk, refs_emt
+    return texts, mel_paths, refs_emt, refs_spk, basenames, emt_labels, spk_labels
+
+
+def run_style_transfer(synth: TacotronSynthesizer, synth_metadata_path: str,
+                       input_dir: str, output_dir: str, *,
+                       flip_spk_emt: bool = False, batch_size: int = 16,
+                       save_wavs: bool = True,
+                       limit: Optional[int] = None) -> str:
+    """'synthesis' mode: per-row text + emt-ref + spk-ref style transfer
+    (reference run_synthesis_sytle_transfer, tacotron/synthesize.py:132-152).
+
+    Writes mels/wavs/plots under `<output_dir>/natural/` plus a map.txt with
+    rows `mel_path|text|emt_label|spk_label` for downstream vocoding/eval.
+    """
+    synth_dir = os.path.abspath(os.path.join(output_dir, "natural"))
+    for sub in ("mels", "wavs", "plots"):
+        os.makedirs(os.path.join(synth_dir, sub), exist_ok=True)
+    meta = _read_meta(synth_metadata_path)
+    if limit:
+        meta = meta[:limit]
+    (texts, _mel_paths, refs_emt, refs_spk, basenames,
+     emt_labels, spk_labels) = _resolve_refs(meta, input_dir, flip_spk_emt)
+    frame_shift = synth.cfg.audio.effective_hop / synth.cfg.audio.sample_rate
+    hours = sum(int(m[6]) for m in meta) * frame_shift / 3600
+    log(f"Style-transfer synthesis: {len(meta)} rows ({hours:.2f} h)")
+
+    map_rows = []
+    for start in range(0, len(texts), batch_size):
+        sl = slice(start, start + batch_size)
+        r_emt = [np.load(p) for p in refs_emt[sl]]
+        r_spk = [np.load(p) for p in refs_spk[sl]]
+        result = synth.synthesize(texts[sl], r_emt, r_spk)
+        for j, mel in enumerate(result["mels"]):
+            i = start + j
+            mel_path = os.path.join(synth_dir, "mels", f"mel-{basenames[i]}.npy")
+            np.save(mel_path, mel, allow_pickle=False)
+            map_rows.append(
+                f"{mel_path}|{texts[i]}|{emt_labels[i]}|{spk_labels[i]}")
+            if save_wavs:
+                wav = synth.mel_to_wav(mel)
+                host_audio.save_wav(
+                    wav, os.path.join(synth_dir, "wavs",
+                                      f"wav-{basenames[i]}.wav"),
+                    synth.cfg.audio.sample_rate)
+                plot_alignment(result["alignments"][j],
+                               os.path.join(synth_dir, "plots",
+                                            f"alignment-{basenames[i]}.png"),
+                               title=texts[i])
+        log(f"style transfer {min(start + batch_size, len(texts))}/{len(texts)}")
+    map_path = os.path.join(synth_dir, "map.txt")
+    with open(map_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(map_rows) + "\n")
+    return map_path
+
+
+def run_synthesis_random(synth: TacotronSynthesizer, train_txt: str,
+                         input_dir: str, output_dir: str, *,
+                         n_per_emotion: int = 5, paired: bool = False,
+                         emt_dataset: Optional[str] = None, seed: int = 2,
+                         batch_size: int = 16) -> str:
+    """Seeded random style-transfer experiment batcher (reference
+    synthesize_random, tacotron/synthesize.py:234-305): choose N test texts
+    per emotion class and synthesize each with a random same-emotion
+    reference (or its own paired ref), logging a meta.csv of what was used.
+    """
+    rng = np.random.default_rng(seed)
+    synth_dir = os.path.join(output_dir, "random")
+    os.makedirs(synth_dir, exist_ok=True)
+    meta = _read_meta(train_txt)
+    emt_rows: Dict[int, list] = {}
+    for m in meta:
+        if emt_dataset is None or m[0] == emt_dataset:
+            emt_rows.setdefault(int(m[8]), []).append(m)
+    n_emt = 1 if paired else len(emt_rows)
+
+    texts, refs_emt, refs_spk, basenames = [], [], [], []
+    meta_rows = ["basename,text,emt_label,spk_label,ref_mel"]
+    for emt in sorted(emt_rows)[:n_emt]:
+        rows = emt_rows[emt]
+        chosen = rng.choice(len(rows), min(n_per_emotion, len(rows)),
+                            replace=False)
+        for ci in chosen:
+            row = rows[ci]
+            own = os.path.join(input_dir, row[0], "mels", row[2])
+            if paired:
+                ref = own
+            else:
+                ref_row = rows[int(rng.choice(len(rows)))]
+                ref = os.path.join(input_dir, ref_row[0], "mels", ref_row[2])
+            texts.append(row[7])
+            refs_emt.append(ref)
+            refs_spk.append(own)
+            base = f"{row[10].split('.')[0]}_e{emt}"
+            basenames.append(base)
+            meta_rows.append(
+                f"{base},{row[7]!r},{emt},{row[9]},{os.path.basename(ref)}")
+
+    with open(os.path.join(synth_dir, "meta.csv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(meta_rows) + "\n")
+    for start in range(0, len(texts), batch_size):
+        sl = slice(start, start + batch_size)
+        result = synth.synthesize(texts[sl],
+                                  [np.load(p) for p in refs_emt[sl]],
+                                  [np.load(p) for p in refs_spk[sl]])
+        for j, mel in enumerate(result["mels"]):
+            i = start + j
+            np.save(os.path.join(synth_dir, f"mel-{basenames[i]}.npy"),
+                    mel, allow_pickle=False)
+            wav = synth.mel_to_wav(mel)
+            host_audio.save_wav(wav,
+                                os.path.join(synth_dir, f"wav-{basenames[i]}.wav"),
+                                synth.cfg.audio.sample_rate)
+    log(f"random-experiment synthesis: {len(texts)} samples -> {synth_dir}")
+    return synth_dir
+
+
+def run_style_embs(synth: TacotronSynthesizer, train_txt: str, input_dir: str,
+                   output_dir: str, *, n_spk: int = 8, n_per_spk: int = 8,
+                   seed: int = 0, batch_size: int = 16) -> str:
+    """'style_embs' mode: export reference-encoder embeddings for projector
+    visualization (reference get_style_embeddings,
+    tacotron/synthesize.py:307-391). Writes meta.tsv + emb_emt.tsv +
+    emb_spk.tsv; each embedding file stacks [real-ref rows; synth mel-out
+    rows], and meta.tsv labels them real/synth."""
+    rng = np.random.default_rng(seed)
+    emb_dir = os.path.join(output_dir, "embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+    meta = _read_meta(train_txt)
+    by_spk: Dict[int, list] = {}
+    for m in meta:
+        by_spk.setdefault(int(m[9]), []).append(m)
+    spk_ids = sorted(by_spk)
+    chosen_spks = sorted(rng.choice(spk_ids, min(n_spk, len(spk_ids)),
+                                    replace=False))
+    rows = []
+    for sid in chosen_spks:
+        cand = by_spk[sid]
+        for ci in rng.choice(len(cand), min(n_per_spk, len(cand)),
+                             replace=False):
+            rows.append(cand[int(ci)])
+
+    embs_emt, embs_spk, embs_mo_emt, embs_mo_spk = [], [], [], []
+    for start in range(0, len(rows), batch_size):
+        batch = rows[start:start + batch_size]
+        texts = [m[7] for m in batch]
+        mels = [np.load(os.path.join(input_dir, m[0], "mels", m[2]))
+                for m in batch]
+        out = synth.embed(texts, mels)
+        embs_emt.append(out["emb_emt"])
+        if out["emb_spk"] is not None:
+            embs_spk.append(out["emb_spk"])
+        if out["emb_mo_emt"] is not None:
+            embs_mo_emt.append(out["emb_mo_emt"])
+        if out["emb_mo_spk"] is not None:
+            embs_mo_spk.append(out["emb_mo_spk"])
+
+    def _write_tsv(name, chunks_real, chunks_synth):
+        if not chunks_real:
+            return
+        arr = np.vstack(chunks_real + chunks_synth)
+        np.savetxt(os.path.join(emb_dir, name), arr, delimiter="\t", fmt="%.6f")
+
+    _write_tsv("emb_emt.tsv", embs_emt, embs_mo_emt)
+    _write_tsv("emb_spk.tsv", embs_spk, embs_mo_spk)
+    header = "dataset\tmel_filename\tmel_frames\temt_label\tspk_label\tbasename\tsex\treal"
+    lines = [header]
+    for tag, present in (("real", True), ("synth", bool(embs_mo_emt))):
+        if not present:
+            continue
+        for m in rows:
+            lines.append("\t".join([m[0], m[2], m[6], m[8], m[9], m[10],
+                                    m[11] if len(m) > 11 else "", tag]))
+    with open(os.path.join(emb_dir, "meta.tsv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    log(f"style embeddings for {len(rows)} utterances -> {emb_dir}")
+    return emb_dir

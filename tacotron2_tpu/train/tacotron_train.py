@@ -22,6 +22,7 @@ from ..data.feeder import TacotronFeeder
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils import ValueWindow, log
 from ..utils.plot import plot_alignment, plot_spectrogram
+from ..utils.summary import ProfilerHook, SummaryWriter
 from .checkpoint import CheckpointManager, partial_restore
 from .tacotron_step import TacotronTrainer
 
@@ -37,7 +38,9 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
                    trainer_kwargs: Optional[dict] = None,
                    pad_text_multiple: int = 16, pad_mel_multiple: int = 128,
                    checkpoint_interval: Optional[int] = None,
-                   eval_interval: Optional[int] = None):
+                   eval_interval: Optional[int] = None,
+                   profile_start: Optional[int] = None,
+                   profile_end: Optional[int] = None):
     """Train the spectrogram predictor; returns the checkpoint directory."""
     steps = train_steps or cfg.train.tacotron_train_steps
     ckpt_interval = checkpoint_interval or cfg.train.checkpoint_interval
@@ -77,6 +80,8 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     windows = {k: ValueWindow(100) for k in LOSS_WINDOWS}
     time_window = ValueWindow(100)
     rng = jax.random.PRNGKey(cfg.train.tacotron_random_seed + 1)
+    summary = SummaryWriter(log_dir)
+    profiler = ProfilerHook(log_dir, profile_start, profile_end)
 
     start_step = int(state.step)
     for batch in batches:
@@ -97,6 +102,13 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
                 windows[k].append(float(metrics[k]))
 
         step = int(state.step)
+        profiler.step(step)
+        if step % cfg.train.summary_interval == 0:
+            summary.scalars(step, {k: float(v) for k, v in metrics.items()
+                                   if np.ndim(v) == 0},
+                            prefix="tacotron/")
+            summary.scalars(step, {"sec_per_step": time_window.average},
+                            prefix="tacotron/")
         if step % 10 == 0 or step < 5:
             log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
                 f"loss={loss:.5f}, avg_loss={windows['loss'].average:.5f}, "
@@ -120,6 +132,8 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     mgr.save(int(state.step), state)
     log(f"Tacotron training complete at step {int(state.step)}", slack=True)
     mgr.close()
+    summary.close()
+    profiler.close()
     return ckpt_dir, state
 
 

@@ -21,6 +21,7 @@ from ..data import audio as host_audio
 from ..data.wavenet_feeder import WaveNetFeeder
 from ..utils import ValueWindow, log
 from ..utils.plot import plot_spectrogram, waveplot
+from ..utils.summary import ProfilerHook, SummaryWriter
 from .checkpoint import CheckpointManager
 from .wavenet_step import WaveNetTrainer
 
@@ -29,7 +30,9 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
                   train_steps: Optional[int] = None, restore: bool = False,
                   gta: bool = True, batch_size: Optional[int] = None,
                   checkpoint_interval: Optional[int] = None,
-                  eval_interval: Optional[int] = None):
+                  eval_interval: Optional[int] = None,
+                  profile_start: Optional[int] = None,
+                  profile_end: Optional[int] = None):
     """Train the vocoder on (audio, mel) pairs; returns checkpoint dir + state."""
     steps = train_steps or cfg.train.wavenet_train_steps
     ckpt_interval = checkpoint_interval or cfg.train.checkpoint_interval
@@ -61,6 +64,8 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     loss_window = ValueWindow(100)
     time_window = ValueWindow(100)
     rng = jax.random.PRNGKey(cfg.train.wavenet_random_seed + 1)
+    summary = SummaryWriter(log_dir)
+    profiler = ProfilerHook(log_dir, profile_start, profile_end)
 
     for batch in batches:
         if int(state.step) >= steps:
@@ -72,6 +77,12 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
         time_window.append(time.time() - t0)
         loss_window.append(loss)
         step = int(state.step)
+        profiler.step(step)
+        if step % cfg.train.summary_interval == 0:
+            summary.scalars(step, {k: float(v) for k, v in metrics.items()
+                                   if np.ndim(v) == 0}, prefix="wavenet/")
+            summary.scalars(step, {"sec_per_step": time_window.average},
+                            prefix="wavenet/")
         if step % 10 == 0 or step < 5:
             log(f"Step {step:7d} [{time_window.average:.3f} sec/step, "
                 f"loss={loss:.5f}, avg_loss={loss_window.average:.5f}]")
@@ -91,6 +102,8 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     mgr.save(int(state.step), state)
     log(f"WaveNet training complete at step {int(state.step)}", slack=True)
     mgr.close()
+    summary.close()
+    profiler.close()
     return ckpt_dir, state
 
 

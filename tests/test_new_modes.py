@@ -1,0 +1,223 @@
+"""New harness surfaces: style-transfer/embs synthesis modes, standalone
+wavenet preprocessing, generic metadata builder, summaries, disc-test."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import Config
+
+from test_tacotron_model import RNGS, make_batch, tiny_config
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _tiny_synth():
+    from tacotron2_tpu.models.tacotron.model import Tacotron
+    from tacotron2_tpu.synth.tacotron_synth import TacotronSynthesizer
+    cfg = tiny_config()
+    model = Tacotron(config=cfg)
+    batch = make_batch(B=2)
+    variables = model.init(RNGS, batch["inputs"], batch["input_lengths"],
+                           mel_targets=batch["mel_targets"],
+                           ref_mel_emt=batch["ref_mel_emt"],
+                           ref_mel_spk=batch["ref_mel_spk"], train=True)
+    return cfg, TacotronSynthesizer(cfg, variables["params"],
+                                    variables.get("batch_stats", {}),
+                                    model=model)
+
+
+def _fake_corpus(root, cfg, n=4, frames=24):
+    """Preprocessed-corpus layout: <root>/<ds>/mels/*.npy + train.txt rows."""
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "emt4", "mels"), exist_ok=True)
+    rows = []
+    hop = cfg.audio.effective_hop
+    for i in range(n):
+        mel = rng.uniform(-4, 4, (frames, cfg.audio.num_mels)).astype(np.float32)
+        np.save(os.path.join(root, "emt4", "mels", f"mel-{i}.npy"), mel)
+        rows.append(f"emt4|audio-{i}.npy|mel-{i}.npy|linear-{i}.npy|s.npy|"
+                    f"{frames * hop}|{frames}|hello world {i}|{i % 2}|0|"
+                    f"utt{i}.wav|F")
+    path = os.path.join(root, "train.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return path
+
+
+def test_resolve_refs_same_and_cross(tmp_path):
+    from tacotron2_tpu.synth.tacotron_synth import _read_meta, _resolve_refs
+    meta_path = tmp_path / "synth_meta.txt"
+    rows = [
+        "emt4|a.npy|mel-0.npy|l|s|100|10|hi there|1|0|utt0.wav|F|same|tag0|same",
+        "emt4|a.npy|mel-1.npy|l|s|100|10|bye now|2|0|utt1.wav|F|"
+        "emt4/mel-0.npy|tagX|jessa/mel-9.npy",
+    ]
+    meta_path.write_text("# comment\n" + "\n".join(rows) + "\n")
+    meta = _read_meta(str(meta_path))
+    assert len(meta) == 2  # comment skipped
+    texts, mels, refs_emt, refs_spk, basenames, emts, spks = _resolve_refs(
+        meta, "/data")
+    assert texts == ["hi there", "bye now"]
+    assert refs_emt[0] == "/data/emt4/mels/mel-0.npy"  # same -> own mel
+    assert refs_emt[1] == "/data/emt4/mels/mel-0.npy"  # explicit dataset/file
+    assert refs_spk[1] == "/data/jessa/mels/mel-9.npy"
+    assert basenames == ["utt0_tag0", "utt1_tagX"]
+    assert emts == [1, 2] and spks == [0, 0]
+    # flip swaps the two ref lists
+    _, _, fe, fs, _, _, _ = _resolve_refs(meta, "/data", flip_spk_emt=True)
+    assert fe == refs_spk and fs == refs_emt
+
+
+def test_style_transfer_driver(tmp_path):
+    from tacotron2_tpu.synth.tacotron_synth import run_style_transfer
+    cfg, synth = _tiny_synth()
+    _fake_corpus(str(tmp_path), cfg)
+    hop = cfg.audio.effective_hop
+    meta = tmp_path / "synth_meta.txt"
+    meta.write_text(
+        f"emt4|a.npy|mel-0.npy|l|s|{24 * hop}|24|one two|0|0|u0.wav|F|"
+        "emt4/mel-1.npy|e1|same\n"
+        f"emt4|a.npy|mel-2.npy|l|s|{24 * hop}|24|three four|1|0|u1.wav|F|"
+        "same|e0|emt4/mel-3.npy\n")
+    map_path = run_style_transfer(synth, str(meta), str(tmp_path),
+                                  str(tmp_path / "out"), save_wavs=False)
+    assert os.path.exists(map_path)
+    rows = [l.split("|") for l in open(map_path).read().strip().split("\n")]
+    assert len(rows) == 2
+    for r in rows:
+        assert os.path.exists(r[0])
+        mel = np.load(r[0])
+        assert mel.shape[1] == cfg.audio.num_mels
+
+
+def test_style_embs_export(tmp_path):
+    from tacotron2_tpu.synth.tacotron_synth import run_style_embs
+    cfg, synth = _tiny_synth()
+    train_txt = _fake_corpus(str(tmp_path), cfg, n=6)
+    emb_dir = run_style_embs(synth, train_txt, str(tmp_path),
+                             str(tmp_path / "out"), n_spk=1, n_per_spk=4)
+    emb = np.loadtxt(os.path.join(emb_dir, "emb_emt.tsv"), delimiter="\t")
+    # real + synth rows stacked: 2 * 4 utterances; the ref-encoder output is
+    # always 128-d (the reference hardcodes its final dense to 128,
+    # modules.py:41,55, independent of reference_depth)
+    assert emb.shape == (8, 128)
+    meta_lines = open(os.path.join(emb_dir, "meta.tsv")).read().strip().split("\n")
+    assert meta_lines[0].startswith("dataset\t")
+    assert len(meta_lines) == 1 + 8
+    assert meta_lines[1].endswith("real") and meta_lines[-1].endswith("synth")
+
+
+def test_embed_only_pass():
+    cfg, synth = _tiny_synth()
+    rng = np.random.default_rng(3)
+    mels = [rng.uniform(-4, 4, (16, cfg.audio.num_mels)).astype(np.float32)
+            for _ in range(2)]
+    out = synth.embed(["a b", "c d"], mels)
+    assert out["emb_emt"].shape == (2, 128)
+    assert out["emb_mo_emt"].shape == (2, 128)
+    # distinct refs give distinct embeddings
+    assert not np.allclose(out["emb_emt"][0], out["emb_emt"][1])
+
+
+def test_wavenet_standalone_preprocess(tmp_path):
+    from tacotron2_tpu.data import audio
+    from tacotron2_tpu.data.preprocess import (wavenet_build_from_path,
+                                               write_wavenet_metadata)
+    from tacotron2_tpu.data.wavenet_feeder import WaveNetFeeder
+    import dataclasses
+    cfg = Config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, wavenet_test_size=None, wavenet_test_batches=1,
+        wavenet_batch_size=1, max_time_steps=4000))
+    sr = cfg.audio.sample_rate
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        t = np.linspace(0, 0.5, sr // 2, endpoint=False)
+        w = (0.5 * np.sin(2 * np.pi * 220 * t) +
+             0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        audio.save_wav(w, str(wav_dir / f"utt{i}.wav"), sr)
+
+    out_dir = tmp_path / "wn"
+    rows = wavenet_build_from_path(cfg, str(wav_dir), str(out_dir), serial=True)
+    assert len(rows) == 3
+    map_path = write_wavenet_metadata(rows, str(out_dir), cfg)
+    hop = cfg.audio.effective_hop
+    for r in rows:
+        x = np.load(r[0])
+        c = np.load(r[1])
+        assert len(x) == len(c) * hop  # upsampling invariant
+        assert len(x) == int(r[4]) and len(c) == int(r[5])
+
+    # the feeder consumes the 6-field map rows directly
+    feeder = WaveNetFeeder(cfg, map_path, gta=False)
+    batch = next(iter(feeder.train_batches(1)))
+    assert batch["x"].shape[1] == batch["c"].shape[1] * hop
+
+
+def test_create_metadata_layouts(tmp_path):
+    from tacotron2_tpu.data.preprocess import create_metadata
+    # ljspeech layout
+    lj = tmp_path / "lj"
+    (lj / "wavs").mkdir(parents=True)
+    (lj / "metadata.csv").write_text(
+        "LJ001-0001|raw text 1|Normalized text one.\n"
+        "LJ001-0002|raw text 2|Normalized text two.\n")
+    out = create_metadata(str(lj), str(tmp_path / "meta_lj.txt"))
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    assert rows[0] == ["wavs/LJ001-0001.wav", "Normalized text one.", "0",
+                       "0", "U"]
+    # folders layout
+    fl = tmp_path / "folders"
+    for spk in ("p1", "p2"):
+        (fl / spk).mkdir(parents=True)
+        (fl / spk / "a.wav").write_bytes(b"RIFF")
+        (fl / spk / "a.txt").write_text(f"hello from {spk}")
+    out2 = create_metadata(str(fl), str(tmp_path / "meta_f.txt"),
+                           layout="folders")
+    rows2 = [l.split("|") for l in open(out2).read().strip().split("\n")]
+    assert len(rows2) == 2 and rows2[0][3] == "p1" and rows2[1][3] == "p2"
+
+
+def test_summary_writer_and_profiler_hook(tmp_path):
+    from tacotron2_tpu.utils.summary import ProfilerHook, SummaryWriter
+    w = SummaryWriter(str(tmp_path), use_tensorboard=False)
+    w.scalars(10, {"loss": 1.5, "skipme": np.zeros(3)}, prefix="t/")
+    w.scalars(20, {"loss": 1.2})
+    w.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().strip().split("\n")]
+    assert lines[0]["step"] == 10 and lines[0]["t/loss"] == 1.5
+    assert "t/skipme" not in lines[0]  # non-scalars skipped
+    assert lines[1]["loss"] == 1.2
+    # hook with no start step is inert
+    hook = ProfilerHook(str(tmp_path))
+    hook.step(5)
+    hook.close()
+
+
+def test_disc_test_roundtrip(tmp_path):
+    """disc-train a few steps on the tiny corpus, then disc-test on it."""
+    from make_tiny_dataset import main as make_corpus
+    from tacotron2_tpu.disc.train import disc_test, disc_train
+    import dataclasses
+    corpus = make_corpus(str(tmp_path / "corpus"), n=12)
+    cfg = Config()
+    cfg = cfg.replace(gst=dataclasses.replace(
+        cfg.gst, reference_filters=(4, 4), reference_depth=8))
+    ckpt_dir, _ = disc_train(cfg, os.path.join(corpus, "train.txt"),
+                             str(tmp_path / "disc"), kind="emt",
+                             train_steps=3, n_per_class=2, loss_type="ce",
+                             checkpoint_interval=3)
+    acc, cm = disc_test(cfg, ckpt_dir, os.path.join(corpus, "train.txt"),
+                        str(tmp_path / "disc_test"), kind="emt",
+                        crop_frames=32)
+    assert 0.0 <= acc <= 1.0
+    assert cm.sum() == 12
+    assert os.path.exists(tmp_path / "disc_test" / "confusion_emt.png")
+    assert os.path.exists(tmp_path / "disc_test" / "disc_test_emt.csv")
