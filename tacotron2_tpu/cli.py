@@ -78,7 +78,9 @@ def cmd_train(args):
     feeder_kwargs = dict(emt_only=args.emt_only,
                          intercross_both=args.intercross_both,
                          unpaired=args.unpaired,
-                         remove_long_samples=args.remove_long_samps)
+                         remove_long_samples=args.remove_long_samps,
+                         test_inputs=args.test_inputs,
+                         test_max_len=args.test_max_len)
     trainer_kwargs = dict(emt_only=args.emt_only, adv_emb_disc=args.adv_emb_disc,
                           nat_gan=args.nat_gan, use_unpaired=args.unpaired,
                           opt_ref_no_mo=args.opt_ref_no_mo,
@@ -357,7 +359,8 @@ def build_parser() -> argparse.ArgumentParser:
     # fork feature flags (reference train.py:94-158)
     for flag in ["emt-only", "intercross-both", "unpaired", "adv-emb-disc",
                  "nat-gan", "opt-ref-no-mo", "pretrained-emb-disc",
-                 "pretrained-emb-disc-all", "remove-long-samps"]:
+                 "pretrained-emb-disc-all", "remove-long-samps",
+                 "test-inputs", "test-max-len"]:
         tr.add_argument(f"--{flag}", action="store_true")
     tr.set_defaults(func=cmd_train)
 

@@ -66,7 +66,8 @@ class TacotronFeeder:
                  remove_long_samples: bool = False,
                  batches_per_group: Optional[int] = None,
                  pad_text_multiple: int = 1, pad_mel_multiple: int = 1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, test_inputs: bool = False,
+                 test_max_len: bool = False):
         self.cfg = cfg
         self.data_folder = os.path.dirname(metadata_path)
         self.emt_only = emt_only
@@ -103,6 +104,17 @@ class TacotronFeeder:
         self.test_meta = [meta[i] for i in test_idx]
         self._train_offset = 0
 
+        # debug modes: constant data for deterministic graph-plumbing checks
+        # (reference --TEST_INPUTS, feeder.py:343-348,446-450) and
+        # longest-batches-first for OOM-limit probing (--test_max_len,
+        # feeder.py:106-109)
+        self.test_inputs = test_inputs
+        self.test_max_len = test_max_len
+        if test_max_len:
+            self.train_meta.sort(key=lambda m: int(m[6]), reverse=True)
+            self.test_meta.sort(key=lambda m: int(m[6]), reverse=True)
+            print("TESTING MAX LENGTH FOR SAMPLES TO FIND MAX BATCH SIZE")
+
         # class inventories for unpaired sampling (feeder.py:121-125)
         emts = sorted({m[8] for m in meta})
         spks = sorted({m[9] for m in meta})
@@ -133,6 +145,18 @@ class TacotronFeeder:
         """One training example with reference-mel policy (feeder.py:332-450)."""
         dataset, text = meta[0], meta[7]
         emt_label, spk_label = meta[8], meta[9]
+        if self.test_inputs:
+            const_mel = np.ones((30, self.cfg.audio.num_mels), np.float32)
+            seq = np.asarray(text_to_sequence("hello", self.cleaners), np.int32)
+            return dict(
+                inputs=seq, mel_target=const_mel,
+                token_target=np.zeros((29,), np.float32),
+                emt_label=int(emt_label), spk_label=int(spk_label),
+                ref_mel_emt=const_mel, ref_mel_spk=const_mel,
+                emt_up_label=int(float(emt_label)),
+                spk_up_label=int(float(spk_label)),
+                ref_mel_up_emt=const_mel, ref_mel_up_spk=const_mel,
+                mel_length=30)
         input_data = np.asarray(text_to_sequence(text, self.cleaners), np.int32)
         mel_target = self._load_mel(meta)
         token_target = np.zeros((len(mel_target) - 1,), np.float32)

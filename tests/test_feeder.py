@@ -126,3 +126,18 @@ def test_prefetch(tiny_corpus):
     it = feeder.prefetch(feeder.train_batches(), depth=2)
     b1, b2 = next(it), next(it)
     assert b1["inputs"].shape[0] == b2["inputs"].shape[0]
+
+
+def test_feeder_debug_modes(tiny_corpus):
+    """--TEST_INPUTS constants and --test_max_len longest-first ordering."""
+    cfg = small_cfg()
+    path = os.path.join(tiny_corpus, "train.txt")
+    f1 = TacotronFeeder(cfg, path, test_inputs=True, batches_per_group=2)
+    b = next(f1.train_batches(4))
+    assert np.all(b["mel_targets"] == 1.0)
+    assert np.all(b["targets_lengths"] == 30)
+    assert np.all(b["inputs"] == b["inputs"][0])  # every row is 'hello'
+
+    f2 = TacotronFeeder(cfg, path, test_max_len=True)
+    lengths = [int(m[6]) for m in f2.train_meta]
+    assert lengths == sorted(lengths, reverse=True)
