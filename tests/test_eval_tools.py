@@ -1,5 +1,7 @@
 """Evaluation harness: WER, confusion matrices, embedding exports."""
 
+import os
+
 import numpy as np
 
 from tacotron2_tpu.eval.analyze import (confusion_matrix,
@@ -55,3 +57,29 @@ def test_embedding_plots_and_export(tmp_path):
     ep, mp = export_style_embeddings_tsv(emb, [(i, f"utt{i}") for i in range(30)],
                                          str(tmp_path))
     assert np.loadtxt(ep, delimiter="\t").shape == (30, 16)
+
+
+def test_human_eval_ab(tmp_path):
+    from tacotron2_tpu.eval.human_eval import build_ab_test, score_ab_test
+    new, bsl, out = tmp_path / "new", tmp_path / "bsl", tmp_path / "test"
+    new.mkdir(); bsl.mkdir()
+    for i in range(4):
+        (new / f"utt{i}.wav").write_bytes(b"N" * 10)
+        (bsl / f"utt{i}.wav").write_bytes(b"B" * 10)
+    answers = build_ab_test(str(new), str(bsl), str(out), seed=3)
+    wavs = sorted(os.listdir(out))
+    assert sum(1 for w in wavs if w.endswith(".wav")) == 8
+    # each pair holds one file from each system, randomized order
+    import csv
+    rows = list(csv.DictReader(open(answers)))
+    assert len(rows) == 4
+    for i, r in enumerate(rows):
+        assert {r["test1"], r["test2"]} == {"new", "bsl"}
+        a = (out / f"test_{i}_0.wav").read_bytes()[:1].decode()
+        assert a == ("N" if r["test1"] == "new" else "B")
+    # scoring: listener always picks option 1
+    resp = tmp_path / "resp.csv"
+    resp.write_text("index,choice\n" + "\n".join(f"{i},1" for i in range(4)))
+    res = score_ab_test(answers, str(resp))
+    expected = sum(1 for r in rows if r["test1"] == "new")
+    assert res["prefer_new"] == expected and res["total"] == 4
