@@ -13,9 +13,22 @@ single-stream realtime factor.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the remote-compile tunnel makes the
+    first Pallas/scan compile take minutes; caching makes repeat bench runs
+    (and the driver's round-end run) start in seconds."""
+    import jax
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def bench_vocoder(cfg, B=8, seconds=1.0, chunk=512):
@@ -95,6 +108,7 @@ def bench_griffin_lim(cfg):
 
 
 def main():
+    _enable_compile_cache()
     import jax
 
     from tacotron2_tpu.config import get_config

@@ -294,6 +294,10 @@ class TrainConfig:
     checkpoint_interval: int = 250
     eval_interval: int = 5000
     summary_interval: int = 250
+    # nat-GAN disc-only warmup iterations at step 0 (train.py:378-380:
+    # 200 paired / 300 unpaired)
+    nat_gan_pretrain_steps: int = 200
+    nat_gan_pretrain_steps_unpaired: int = 300
     max_checkpoints_to_keep: int = 50
     tacotron_train_steps: int = 300000
     wavenet_train_steps: int = 500000

@@ -92,6 +92,41 @@ class WaveNetSynthesizer:
         return wavs
 
 
+    def synthesize_debug(self, wavs: Sequence[np.ndarray],
+                         mels: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Teacher-forced sanity path (reference `wavenet_synth_debug`,
+        synthesizer.py:50-53,83-94): run the parallel train-mode forward on
+        ground-truth waveforms and return the one-step-ahead predicted means.
+        A healthy checkpoint reproduces the input almost exactly; gross
+        mismatch isolates vocoder bugs from conditioning/sampler bugs."""
+        import jax.numpy as jnp
+
+        from ..models.wavenet.distributions import \
+            sample_from_discretized_mix_logistic
+        c, frame_lengths = self._prepare_mels(mels)
+        hop = self.cfg.audio.effective_hop
+        T = c.shape[1] * hop
+        x = np.zeros((len(wavs), T, 1), np.float32)
+        for i, w in enumerate(wavs):
+            x[i, :min(len(w), T), 0] = w[:T]
+        out = self.model.apply({"params": self.params}, jnp.asarray(x),
+                               jnp.asarray(c), train=False)
+        y_hat = np.asarray(out.y_hat)
+        if self.cfg.wavenet.out_channels == 2:        # Gaussian: [.., 0]=mean
+            pred = y_hat[..., 0]
+        elif self.cfg.wavenet.input_type == "mulaw-quantize":
+            pred = np.argmax(y_hat, axis=-1).astype(np.float32)
+            from ..ops.mulaw import inv_mulaw_quantize
+            pred = np.asarray(inv_mulaw_quantize(
+                pred.astype(np.int32), self.cfg.wavenet.quantize_channels - 1))
+        else:                                          # MoL: sample means
+            key = jax.random.PRNGKey(0)
+            pred = np.asarray(sample_from_discretized_mix_logistic(
+                key, jnp.asarray(y_hat)))
+        return [pred[i, : L * hop].astype(np.float32)
+                for i, L in enumerate(frame_lengths)]
+
+
 def run_synthesis(synth: WaveNetSynthesizer, map_path: str, output_dir: str,
                   batch_size: Optional[int] = None,
                   limit: Optional[int] = None) -> List[str]:

@@ -98,6 +98,19 @@ def make_mask(params, predicate: Callable[[str], bool]):
     return flat
 
 
+def masked_only(tx, mask):
+    """Apply `tx` to masked leaves and ZERO all others.
+
+    optax.masked alone passes unmasked updates through unchanged — applying
+    those would add raw gradients to frozen variables, corrupting the
+    reference's var-list optimizer semantics (tacotron.py:1047-1066).
+    """
+    labels = jax.tree_util.tree_map(
+        lambda m: "on" if m else "off", mask)
+    return optax.multi_transform({"on": tx, "off": optax.set_to_zero()},
+                                 labels)
+
+
 def is_refnet_var(name: str) -> bool:
     """'optimizer_r' variable set (tacotron.py:1064)."""
     return "refnet" in name or "style_disc" in name
@@ -152,10 +165,10 @@ def make_tacotron_optimizer(cfg: Config, params, *, opt_ref_no_mo: bool = False,
 
     main_pred = main_update_predicate(opt_ref_no_mo, pretrained_emb_disc_all,
                                       t.tacotron_fine_tuning)
-    tx_main = optax.masked(adam(), make_mask(params, main_pred))
-    tx_refnet = (optax.masked(adam(), make_mask(params, is_refnet_var))
+    tx_main = masked_only(adam(), make_mask(params, main_pred))
+    tx_refnet = (masked_only(adam(), make_mask(params, is_refnet_var))
                  if opt_ref_no_mo or pretrained_emb_disc_all else None)
-    tx_nat = (optax.masked(adam(), make_mask(params, is_nat_gan_var))
+    tx_nat = (masked_only(adam(), make_mask(params, is_nat_gan_var))
               if nat_gan else None)
     return tx_main, tx_refnet, tx_nat
 

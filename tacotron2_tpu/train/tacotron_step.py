@@ -164,6 +164,36 @@ class TacotronTrainer:
             opt_state_nat=new_opt_nat)
         return new_state, metrics
 
+    def disc_pretrain_step(self, state: TrainState, batch: Dict[str, Any],
+                           rng: jax.Array):
+        """nat-GAN discriminator-only update (reference pretraining phase,
+        tacotron/train.py:376-397: ~200-300 disc iterations at step 0 before
+        the generator sees any adversarial gradient)."""
+        tx_main, _, tx_nat = self.ensure_tx(state.params)
+        assert tx_nat is not None, "disc pretraining requires nat_gan=True"
+        rngs = dict(zip(["dropout", "zoneout", "teacher_forcing"],
+                        jax.random.split(rng, 3)))
+        tfr = self.tfr_schedule(state.step)
+
+        def loss_fn(params):
+            out, new_bs = self._forward(params, state.batch_stats, batch, rngs,
+                                        tfr, train=True)
+            terms = self._losses(out, batch, params)
+            return terms["d_loss"], (terms, new_bs)
+
+        (_, (terms, new_bs)), grads_n = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd_n, new_opt_nat = tx_nat.update(grads_n, state.opt_state_nat,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, upd_n)
+        new_state = TrainState(
+            step=state.step, params=new_params, batch_stats=new_bs,
+            opt_state_main=state.opt_state_main,
+            opt_state_refnet=state.opt_state_refnet,
+            opt_state_nat=new_opt_nat)
+        return new_state, {k: terms[k] for k in
+                           ("d_loss", "g_loss_p", "g_loss_up") if k in terms}
+
     def eval_step(self, state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         """Eval forward (natural or teacher-forced per config) + losses."""
         rngs = dict(zip(["dropout", "zoneout", "teacher_forcing"],

@@ -77,6 +77,21 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     mesh = make_mesh() if use_mesh and jax.device_count() > 1 else None
     step_fn = jax.jit(trainer.train_step)
 
+    # nat-GAN disc pretraining phase at step 0 (reference train.py:376-397)
+    if trainer.nat_gan and int(state.step) == 0:
+        n_disc = cfg.train.nat_gan_pretrain_steps_unpaired \
+            if trainer.use_unpaired else cfg.train.nat_gan_pretrain_steps
+        if n_disc:
+            log(f"Pretraining nat-GAN discriminator for {n_disc} steps")
+            disc_fn = jax.jit(trainer.disc_pretrain_step)
+            pre_rng = jax.random.PRNGKey(cfg.train.tacotron_random_seed + 2)
+            for i in range(n_disc):
+                pre_rng, k = jax.random.split(pre_rng)
+                state, dm = disc_fn(state, next(batches), k)
+                if i % 50 == 0 or i == n_disc - 1:
+                    log(f"nat-GAN disc pretrain {i}: "
+                        f"d_loss={float(dm['d_loss']):.5f}")
+
     windows = {k: ValueWindow(100) for k in LOSS_WINDOWS}
     time_window = ValueWindow(100)
     rng = jax.random.PRNGKey(cfg.train.tacotron_random_seed + 1)

@@ -99,3 +99,33 @@ def test_multi_optimizer_masks():
     assert pred("decoder/cell/lstm1/kernel")
     assert is_refnet_var("style_disc_emt/dense/kernel")
     assert is_nat_gan_var("nat_gan_disc/dense/kernel")
+
+
+def test_nat_gan_disc_pretrain_step():
+    """disc_pretrain_step: moves only nat-GAN disc params, keeps step at 0."""
+    import jax
+
+    from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+
+    cfg = tiny_config()
+    trainer = TacotronTrainer(cfg, nat_gan=True)
+    batch = make_batch(B=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step_fn = jax.jit(trainer.disc_pretrain_step)
+    new_state, dm = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 0  # pretraining doesn't advance the step
+    assert np.isfinite(float(dm["d_loss"]))
+
+    flat_old = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    moved = unmoved = 0
+    for path, old in flat_old:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        new = flat_new[path]
+        changed = not np.allclose(np.asarray(old), np.asarray(new))
+        if "nat_gan" in name:
+            moved += changed
+        else:
+            unmoved += changed
+    assert moved > 0          # disc params updated
+    assert unmoved == 0       # generator untouched

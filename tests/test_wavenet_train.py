@@ -103,3 +103,39 @@ def test_eval_step_uses_ema(wn_corpus):
     out_live, terms_live = trainer.eval_step(state, batch, use_ema=False)
     assert np.isfinite(float(terms_ema["loss"]))
     assert float(terms_ema["loss"]) != float(terms_live["loss"])
+
+
+def test_paper_preset_mol_train_step():
+    """paper_hparams config: 22.05 kHz, MoL head (out_channels=30) trains."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.config import get_config
+    from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+
+    cfg = get_config("paper")
+    assert cfg.audio.sample_rate == 22050
+    assert cfg.wavenet.out_channels == 30  # 10-mixture MoL
+    cfg = cfg.replace(wavenet=dataclasses.replace(
+        cfg.wavenet, layers=4, stacks=2, residual_channels=8,
+        gate_channels=16, skip_out_channels=8, upsample_scales=(2, 2)))
+    rng = np.random.default_rng(0)
+    B, T_mel, hop = 2, 6, 4
+    batch = dict(
+        x=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop, 1)), jnp.float32),
+        y=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop)), jnp.float32),
+        c=jnp.asarray(rng.uniform(0, 1, (B, T_mel, cfg.wavenet.cin_channels)),
+                      jnp.float32),
+        input_lengths=jnp.full((B,), T_mel * hop, jnp.int32))
+    trainer = WaveNetTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    l0 = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+        if l0 is None:
+            l0 = float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < l0  # MoL NLL decreasing
