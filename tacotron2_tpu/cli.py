@@ -283,6 +283,14 @@ def cmd_disc_train(args):
                loss_type=args.loss_type)
 
 
+def cmd_fixed_eval_set(args):
+    from .data.feeder import create_fixed_eval_set
+    create_fixed_eval_set(args.input_path, args.out_path,
+                          n_texts=args.n_texts,
+                          n_refs_per_class=args.n_refs_per_class,
+                          min_frames=args.min_frames)
+
+
 def cmd_disc_test(args):
     from .disc.train import disc_test
     cfg = get_config(args.preset, args.hparams)
@@ -419,6 +427,16 @@ def build_parser() -> argparse.ArgumentParser:
     dx.add_argument("--n-classes", type=int, default=None)
     dx.add_argument("--output-dir", default=None)
     dx.set_defaults(func=cmd_disc_test)
+
+    fe = sub.add_parser("fixed-eval-set",
+                        help="build a reproducible style-transfer eval "
+                             "manifest (reference create_test_samps_fixed)")
+    fe.add_argument("--input-path", required=True, help="train.txt")
+    fe.add_argument("--out-path", required=True)
+    fe.add_argument("--n-texts", type=int, default=5)
+    fe.add_argument("--n-refs-per-class", type=int, default=5)
+    fe.add_argument("--min-frames", type=int, default=200)
+    fe.set_defaults(func=cmd_fixed_eval_set)
     return p
 
 

@@ -310,3 +310,48 @@ class TacotronFeeder:
             if item is stop:
                 return
             yield item
+
+
+def create_fixed_eval_set(metadata_path: str, out_path: str, *,
+                          n_texts: int = 5, n_refs_per_class: int = 5,
+                          min_frames: int = 200, class_col: int = 8,
+                          seed: int = 0) -> str:
+    """Build a reproducible style-transfer eval manifest.
+
+    Generic version of the reference's fixed eval-set writer
+    (feeder.py:585-687, `create_test_samps_fixed`): choose `n_texts` long
+    utterances as the texts, cross each with `n_refs_per_class` reference
+    utterances from every emotion class, and write rows in the synthesis
+    metadata schema (train.txt columns + [12]=emt-ref 'dataset/mel',
+    [13]=ref tag, [14]=spk-ref 'same') consumable by
+    `synthesize --mode synthesis`.
+    """
+    rng = np.random.default_rng(seed)
+    with open(metadata_path, encoding="utf-8") as f:
+        meta = [line.strip().split("|") for line in f if line.strip()]
+    long_rows = [m for m in meta if int(m[6]) > min_frames] or meta
+    by_class: Dict[str, list] = {}
+    for m in long_rows:
+        by_class.setdefault(m[class_col], []).append(m)
+
+    text_rows = [long_rows[i] for i in
+                 rng.choice(len(long_rows), min(n_texts, len(long_rows)),
+                            replace=False)]
+    out_rows = []
+    for t_row in text_rows:
+        for cls in sorted(by_class):
+            cands = by_class[cls]
+            picks = rng.choice(len(cands), min(n_refs_per_class, len(cands)),
+                               replace=False)
+            for k, ci in enumerate(picks):
+                ref = cands[int(ci)]
+                row = list(t_row[:12])
+                row[8] = cls                       # target emotion label
+                row += [f"{ref[0]}/{ref[2]}",      # emt ref dataset/mel
+                        f"e{cls}_{k + 1}",         # tag for output basenames
+                        "same"]                    # spk ref = own mel
+                out_rows.append("|".join(str(x) for x in row))
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out_rows) + "\n")
+    print(f"Wrote {len(out_rows)} fixed eval rows -> {out_path}")
+    return out_path

@@ -141,3 +141,24 @@ def test_feeder_debug_modes(tiny_corpus):
     f2 = TacotronFeeder(cfg, path, test_max_len=True)
     lengths = [int(m[6]) for m in f2.train_meta]
     assert lengths == sorted(lengths, reverse=True)
+
+
+def test_create_fixed_eval_set(tiny_corpus):
+    from tacotron2_tpu.data.feeder import create_fixed_eval_set
+    out = os.path.join(tiny_corpus, "test_samps.txt")
+    create_fixed_eval_set(os.path.join(tiny_corpus, "train.txt"), out,
+                          n_texts=2, n_refs_per_class=1, min_frames=0)
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    classes = {m[8] for m in
+               (l.split("|") for l in open(os.path.join(tiny_corpus,
+                                                        "train.txt")))}
+    assert len(rows) == 2 * len(classes)  # texts x classes x 1 ref
+    for r in rows:
+        assert len(r) == 15
+        assert r[12].startswith("emt4/") and r[14] == "same"
+        assert r[13].startswith("e")
+    # rows are consumable by the style-transfer resolver
+    from tacotron2_tpu.synth.tacotron_synth import _resolve_refs
+    texts, mels, refs_emt, refs_spk, basenames, emts, spks = _resolve_refs(
+        rows, tiny_corpus)
+    assert all(os.path.exists(p) for p in refs_emt)
