@@ -3,10 +3,12 @@
 Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
 audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
 (ops/wavenet_kernel.py) at the reference's full model size (20 layers, 128
-residual channels, Gaussian head, 16 kHz). `vs_baseline` compares against the
-pure-XLA lax.scan sampler on the same chip — the best non-kernel TPU
-implementation (the reference's own tf.while_loop path has no published
-number; its GPU incremental synthesis is O(0.1x) realtime).
+residual channels, Gaussian head, 16 kHz), B=64 streams with the bf16
+delay-line cache (the VMEM-optimal production config; a bit-exact f32 run at
+B=32 is reported in detail). `vs_baseline` compares against the pure-XLA
+lax.scan sampler on the same chip — the best non-kernel TPU implementation
+(the reference's own tf.while_loop path has no published number; its GPU
+incremental synthesis is O(0.1x) realtime).
 
 Details include the Griffin-Lim inversion path (BASELINE config[0]) and
 single-stream realtime factor.
@@ -31,7 +33,10 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def bench_vocoder(cfg, B=8, seconds=1.0, chunk=512):
+def bench_vocoder(cfg, B=64, seconds=1.0, chunk=512, B_exact=32):
+    """Headline: B=64 streams with the bf16 delay-line cache (production
+    config, quantization bounded by the kernel parity test). Detail includes
+    the bit-exact f32-cache config at B_exact."""
     import jax
     import jax.numpy as jnp
 
@@ -44,20 +49,25 @@ def bench_vocoder(cfg, B=8, seconds=1.0, chunk=512):
     T = (int(seconds * sr) // chunk) * chunk
     model = WaveNet(config=cfg)
     rng = np.random.default_rng(0)
-    c_up = jnp.asarray(rng.uniform(0, 1, (B, T, cfg.wavenet.cin_channels)),
-                       jnp.float32)
     variables = model.init(
         dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
         jnp.zeros((B, chunk, 1)), None, train=False)
     sp = extract_sampler_params(variables["params"], cfg)
 
-    run = build_sampler_kernel(cfg, B, T, chunk=chunk)
-    np.asarray(run(sp, c_up, 7))  # compile
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
-        np.asarray(run(sp, c_up, 8 + i))
-    fused_dt = (time.perf_counter() - t0) / iters
+    def time_config(batch, cache_dtype):
+        c_up = jnp.asarray(rng.uniform(0, 1, (batch, T, cfg.wavenet.cin_channels)),
+                           jnp.float32)
+        run = build_sampler_kernel(cfg, batch, T, chunk=chunk,
+                                   cache_dtype=cache_dtype)
+        np.asarray(run(sp, c_up, 7))  # compile
+        iters = 3
+        t0 = time.perf_counter()
+        for i in range(iters):
+            np.asarray(run(sp, c_up, 8 + i))
+        return (time.perf_counter() - t0) / iters
+
+    fused_dt = time_config(B, jnp.bfloat16)
+    exact_dt = time_config(B_exact, jnp.float32)
 
     # XLA scan baseline: its 20-layer scan body takes ~5 min to XLA-compile on
     # this backend, so the live comparison is gated behind BENCH_FULL=1; the
@@ -80,8 +90,9 @@ def bench_vocoder(cfg, B=8, seconds=1.0, chunk=512):
         fused_audio_s_per_s=B * T / fused_dt / sr,
         fused_us_per_step=fused_dt / T * 1e6,
         realtime_factor_per_stream=T / fused_dt / sr,
+        exact_f32_audio_s_per_s=B_exact * T / exact_dt / sr,
         xla_scan_audio_s_per_s=B * T / scan_dt / sr,
-        batch=B, samples=T)
+        batch=B, batch_exact=B_exact, samples=T)
 
 
 def bench_griffin_lim(cfg):
@@ -125,11 +136,14 @@ def main():
                              max(voc["xla_scan_audio_s_per_s"], 1e-9), 2),
         "detail": {
             "backend": jax.default_backend(),
-            "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler",
+            "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler "
+                     "(bf16 delay cache)",
             "us_per_step": round(voc["fused_us_per_step"], 2),
             "realtime_factor_per_stream": round(
                 voc["realtime_factor_per_stream"], 2),
             "batch": voc["batch"],
+            "exact_f32_audio_s_per_s": round(voc["exact_f32_audio_s_per_s"], 2),
+            "batch_exact": voc["batch_exact"],
             "xla_scan_audio_s_per_s": round(voc["xla_scan_audio_s_per_s"], 2),
             "griffin_lim_audio_s_per_s": round(gl_throughput, 1),
         },

@@ -176,6 +176,10 @@ class WaveNetConfig:
     input_type: str = "raw"        # {'raw','mulaw','mulaw-quantize'}
     quantize_channels: int = 2 ** 16
     use_bias: bool = True
+    # fused-sampler delay-line cache precision: 'float32' (bit-exact vs the
+    # XLA scan) or 'bfloat16' (halves VMEM -> B=64/chip, ~1.5x throughput;
+    # drift bounded by tests/test_pallas_kernels.py)
+    sampler_cache_dtype: str = "float32"
     legacy: bool = True            # sqrt(0.5) skip scaling
     residual_legacy: bool = True   # sqrt(0.5) residual scaling
 
@@ -267,7 +271,9 @@ class TrainConfig:
     tacotron_fine_tuning: bool = False
 
     wavenet_batch_size: int = 8
-    wavenet_synthesis_batch_size: int = 20
+    # reference used 10*2 (hparams.py:332); 32 saturates the fused TPU
+    # sampler's batch scaling (184 audio-s/s/chip at B=32 vs 65 at B=8)
+    wavenet_synthesis_batch_size: int = 32
     wavenet_test_size: Optional[float] = None
     wavenet_test_batches: Optional[int] = 1
 

@@ -54,10 +54,16 @@ def _uniform_from_bits(bits):
 
 
 def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         cache_dtype=jnp.float32):
     """Compile a fused sampler for fixed (batch B, length T) buckets.
 
     Returns fn(params_tuple, c_up [B,T,C], seed int32) → samples [B, T].
+
+    cache_dtype=bfloat16 halves the delay-line VMEM (the dominant buffer:
+    sum(dilations)·B·2R floats), unlocking B=64 on one chip; activations are
+    quantized to bf16 between layers only at the delay-line boundary while
+    all matmuls still accumulate in f32.
     """
     wn = cfg.wavenet
     assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
@@ -82,7 +88,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                samples_out,                            # output [T, B]
                buf, cbuf, xprev, sem):                 # scratch
         pltpu.prng_seed(seed_ref[0])
-        buf[:] = jnp.zeros((dtot, B, 2 * R), jnp.float32)
+        buf[:] = jnp.zeros((dtot, B, 2 * R), cache_dtype)
         xprev[:] = jnp.zeros((B, 128), jnp.float32)
 
         def chunk_body(ci, _):
@@ -102,10 +108,11 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
                     idx = offs[l] + jax.lax.rem(t, dilations[l])
-                    old = buf[idx]                             # [B, 2R]
+                    old = buf[idx].astype(jnp.float32)         # [B, 2R]
                     taps = jnp.concatenate(
                         [old[:, R:], old[:, :R], x], axis=-1)  # [B, 3R]
-                    buf[idx] = jnp.concatenate([x, old[:, :R]], axis=-1)
+                    buf[idx] = jnp.concatenate(
+                        [x, old[:, :R]], axis=-1).astype(cache_dtype)
                     z = jnp.dot(taps, conv_w[l],
                                 preferred_element_type=jnp.float32) + conv_b[l]
                     z = z + jnp.dot(ct, cin_w[l],
@@ -156,7 +163,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,  # weights
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dtot, B, 2 * R), jnp.float32),   # delay lines
+            pltpu.VMEM((dtot, B, 2 * R), cache_dtype),   # delay lines
             pltpu.VMEM((chunk, B, C), jnp.float32),      # conditioning chunk
             pltpu.VMEM((B, 128), jnp.float32),           # previous sample
             pltpu.SemaphoreType.DMA,
@@ -219,7 +226,8 @@ def _cached_kernel(cfg_key, B, T, chunk):
 
 
 def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
-                             chunk: int = 512, interpret: bool = False):
+                             chunk: int = 512, interpret: bool = False,
+                             cache_dtype=jnp.float32):
     """Drop-in fast path for sampler.incremental_sample (Gaussian head).
 
     c_up: [B, T, C]; T is padded to a chunk multiple internally and trimmed.
@@ -230,6 +238,7 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
     T_pad = ((T + chunk - 1) // chunk) * chunk
     if T_pad != T:
         c_up = jnp.pad(c_up, ((0, 0), (0, T_pad - T), (0, 0)))
-    run = build_sampler_kernel(cfg, B, T_pad, chunk, interpret=interpret)
+    run = build_sampler_kernel(cfg, B, T_pad, chunk, interpret=interpret,
+                               cache_dtype=cache_dtype)
     samples = run(sp, c_up, seed)
     return samples[:, :T]

@@ -68,10 +68,16 @@ class WaveNetSynthesizer:
         c, frame_lengths = self._prepare_mels(mels)
         c_up = self._upsample(self.params, c)
         if self.use_fused_kernel:
+            import jax.numpy as jnp
+
             from ..ops.wavenet_kernel import fused_incremental_sample
             self._seed_counter += 1
+            cache_dtype = (jnp.bfloat16
+                           if self.cfg.wavenet.sampler_cache_dtype == "bfloat16"
+                           else jnp.float32)
             samples = np.asarray(fused_incremental_sample(
-                self.params, self.cfg, c_up, self._seed_counter))
+                self.params, self.cfg, c_up, self._seed_counter,
+                cache_dtype=cache_dtype))
         else:
             self._key, sk = jax.random.split(self._key)
             samples, _ = self._sample(self.params, c_up, sk)
@@ -147,7 +153,12 @@ def run_synthesis(synth: WaveNetSynthesizer, map_path: str, output_dir: str,
         # mel path: GTA map row -> col 2; eval map row -> col 0
         mel_paths = [r[2] if len(r) >= 4 else r[0] for r in chunk]
         mels = [np.load(p) for p in mel_paths]
-        wavs = synth.synthesize(mels)
+        # pad the remainder batch to the full size so the fused kernel /
+        # jit cache compiled for batch `bs` is reused (results discarded)
+        n_real = len(mels)
+        if n_real < bs:
+            mels = mels + [mels[-1]] * (bs - n_real)
+        wavs = synth.synthesize(mels)[:n_real]
         for i, wav in enumerate(wavs):
             name = os.path.splitext(os.path.basename(mel_paths[i]))[0]
             wav_path = os.path.join(out_dir, f"wavenet-{name}.wav")

@@ -67,3 +67,16 @@ def test_fused_sampler_rejects_mol():
                                                       out_channels=30))
     with pytest.raises(AssertionError, match="Gaussian"):
         fused_incremental_sample(params, cfg_mol, c_up, seed=0, interpret=True)
+
+
+def test_fused_sampler_bf16_cache_close():
+    """bf16 delay-line cache: samples stay close to the f32-cache output
+    (activation quantization only at the layer-delay boundary)."""
+    cfg, params, c_up = _setup()
+    s_f32 = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                     interpret=True)
+    s_bf16 = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                      interpret=True,
+                                      cache_dtype=jnp.bfloat16)
+    err = np.max(np.abs(np.asarray(s_f32) - np.asarray(s_bf16)))
+    assert err < 0.05, f"bf16 cache drifted too far: max err {err}"
