@@ -440,4 +440,15 @@ PRESETS = {"default": default_config, "paper": paper_config}
 
 
 def get_config(preset: str = "default", overrides: str | dict | None = None) -> Config:
-    return PRESETS[preset]().with_overrides(overrides)
+    """Preset + CLI overrides + machine-level env override.
+
+    `TACO_HPARAMS` (same dotted syntax as --hparams) is applied before the
+    explicit overrides — the generic replacement for the reference's
+    hostname-keyed dev-box config switches (train.py:170-180).
+    """
+    import os
+    cfg = PRESETS[preset]()
+    env = os.environ.get("TACO_HPARAMS")
+    if env:
+        cfg = cfg.with_overrides(env)
+    return cfg.with_overrides(overrides)

@@ -147,12 +147,22 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
     y: [..., T] → [..., frames, n_fft]. Matches librosa.stft framing with
     center=True, pad_mode='constant' (reference audio.py:182).
+
+    TPU note: built from k = ceil(n_fft/hop) static hop-plane slices of a
+    [rows, hop] reshape instead of a [frames, n_fft] gather — XLA gathers
+    with large index matrices are orders slower on TPU than sliced reshapes.
+    frame i = concat_s y2d[i+s] for s in 0..k-1, trimmed to n_fft.
     """
     pad = n_fft // 2
     y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)])
     num = 1 + (y.shape[-1] - n_fft) // hop
-    idx = (np.arange(num)[:, None] * hop) + np.arange(n_fft)[None, :]
-    return y[..., idx]
+    k = -(-n_fft // hop)
+    need = (num - 1 + k) * hop
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, need - y.shape[-1]))])
+    y2d = y.reshape(y.shape[:-1] + (-1, hop))            # [..., rows, hop]
+    planes = [y2d[..., s: s + num, :] for s in range(k)]  # each [..., num, hop]
+    frames = jnp.concatenate(planes, axis=-1)             # [..., num, k·hop]
+    return frames[..., :n_fft]
 
 
 def stft(y: jnp.ndarray, n_fft: int, hop: int, win_size: int
@@ -192,9 +202,17 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, num, n_fft))
 
-    # vectorized overlap-add: one scatter-add with a static index matrix
-    idx = np.arange(num)[:, None] * hop + np.arange(n_fft)[None, :]
-    y = jnp.zeros((flat.shape[0], total), dtype=flat.dtype).at[:, idx].add(flat)
+    # overlap-add as k = ceil(n_fft/hop) shifted hop-plane additions — no
+    # scatter (XLA scatter-add is the slow path on TPU). Plane s of frame i
+    # lands at output row i+s of a [num+k-1, hop] grid.
+    k = -(-n_fft // hop)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, k * hop - n_fft)))
+    planes = flat.reshape(flat.shape[0], num, k, hop)
+    acc = jnp.zeros((flat.shape[0], num + k - 1, hop), dtype=flat.dtype)
+    for s in range(k):
+        acc = acc + jnp.pad(planes[:, :, s, :],
+                            ((0, 0), (s, k - 1 - s), (0, 0)))
+    y = acc.reshape(flat.shape[0], -1)[:, :total]
 
     # window-sum-square normalization (static, precomputed on host)
     win_sq = (window.astype(np.float64) ** 2)
