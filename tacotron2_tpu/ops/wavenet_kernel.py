@@ -220,9 +220,47 @@ def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None):
             sp.first_w, fb, sp.final1_w, f1b, sp.final2_w, f2b)
 
 
-@functools.lru_cache(maxsize=8)
-def _cached_kernel(cfg_key, B, T, chunk):
-    raise RuntimeError("internal")
+def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
+                               chunk: int = 512, interpret: bool = False,
+                               cache_dtype=jnp.float32):
+    """Multi-chip synthesis: batch axis sharded over the mesh's 'data' axis.
+
+    Each chip runs the full fused sampler on its local B/n_data streams —
+    the right decomposition for autoregressive vocoding (model-sharding the
+    stack would put a psum on the ICI inside every 62.5 µs sample step;
+    batch-sharding needs zero per-step communication). Weights are
+    replicated; conditioning is sharded on entry.
+
+    Reference-equivalent: the tower loop over wavenet_num_gpus
+    (wavenet.py:227-239), rebuilt as shard_map over a jax Mesh.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    n_data = mesh.shape[data_axis]
+    B, T, _ = c_up.shape
+    assert B % n_data == 0, f"batch {B} not divisible by data axis {n_data}"
+    sp = extract_sampler_params(params, cfg)
+    T_pad = ((T + chunk - 1) // chunk) * chunk
+    if T_pad != T:
+        c_up = jnp.pad(c_up, ((0, 0), (0, T_pad - T), (0, 0)))
+    run = build_sampler_kernel(cfg, B // n_data, T_pad, chunk,
+                               interpret=interpret, cache_dtype=cache_dtype)
+
+    def local(sp_local, c_local, seed_arr):
+        return run(sp_local, c_local, seed_arr[0])
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(), sp),
+                  P(data_axis, None, None), P(data_axis)),
+        out_specs=P(data_axis, None), check_rep=False)
+    # distinct per-shard seeds so parallel streams draw independent noise
+    seeds = jnp.arange(n_data, dtype=jnp.int32) * 9973 + seed
+    c_up = jax.device_put(c_up, NamedSharding(mesh, P(data_axis, None, None)))
+    samples = fn(sp, c_up, seeds)
+    return samples[:, :T]
 
 
 def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
