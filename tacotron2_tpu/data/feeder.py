@@ -132,8 +132,11 @@ class TacotronFeeder:
     # ------------------------------------------------------------- examples
 
     def _load_mel(self, meta_row) -> np.ndarray:
-        return np.load(os.path.join(self.data_folder, meta_row[0], "mels",
-                                    meta_row[2]))
+        path = os.path.join(self.data_folder, meta_row[0], "mels", meta_row[2])
+        from .. import native
+        if native.available():
+            return native.read_npy_f32(path)
+        return np.load(path)
 
     def _random_row_where(self, rows: List, pred) -> Optional[List]:
         cands = [m for m in rows if pred(m)]

@@ -149,21 +149,55 @@ class WaveNetFeeder:
         return dict(x=x_batch, y=y_batch, c=c_batch, g=g_batch,
                     input_lengths=lengths)
 
-    def _next_train(self):
+    def _next_train_row(self):
         if self._train_offset >= len(self.train_meta):
             self._train_offset = 0
             perm = self.rng.permutation(len(self.train_meta))
             self.train_meta = [self.train_meta[i] for i in perm]
         row = self.train_meta[self._train_offset]
         self._train_offset += 1
+        return row
+
+    def _next_train(self):
+        row = self._next_train_row()
         x, c, g = self._load_example(row)
         x, c = self._crop(x, c)
         return x, c, g
 
+    def _load_group(self, rows):
+        """Load a whole group's (audio, mel) pairs through the native
+        GIL-free parallel loader (native/tacodata.cc), falling back to
+        sequential np.load. Crop order matches the sequential path so the
+        RNG stream (and therefore batch contents) is identical."""
+        from .. import native
+        if not native.available():
+            return [(x, c) for x, c in
+                    ((self._load_example(r)[:2]) for r in rows)]
+        paths = []
+        for r in rows:
+            paths.append(self._resolve(r, "audio"))
+            paths.append(self._resolve(r, "mel"))
+        arrs = native.read_npy_batch_f32(paths)
+        quantized = is_mulaw_quantize(self.cfg.wavenet.input_type)
+        out = []
+        for i in range(len(rows)):
+            x = arrs[2 * i]
+            if quantized:  # int16 npy came back as exact f32; restore ints
+                x = x.astype(np.int64)
+            out.append((x, arrs[2 * i + 1]))
+        return out
+
     def train_batches(self, batch_size: Optional[int] = None) -> Iterator[Dict]:
         n = batch_size or self.cfg.train.wavenet_batch_size
         while True:
-            group = [self._next_train() for _ in range(n * self.batches_per_group)]
+            rows = [self._next_train_row()
+                    for _ in range(n * self.batches_per_group)]
+            loaded = self._load_group(rows)
+            group = []
+            for row, (x, c) in zip(rows, loaded):
+                g = int(float(row[9])) if len(row) > 9 else 0
+                x, c = self._crop(x, c)
+                group.append((x, c, g))
             group.sort(key=lambda e: len(e[0]))
             batches = [group[i:i + n] for i in range(0, len(group), n)]
             self.rng.shuffle(batches)
