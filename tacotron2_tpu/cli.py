@@ -66,6 +66,11 @@ def cmd_create_metadata(args):
 
 
 def cmd_train(args):
+    from .parallel.mesh import maybe_initialize_distributed
+    if maybe_initialize_distributed():
+        import jax
+        log(f"jax.distributed initialized: process {jax.process_index()}"
+            f"/{jax.process_count()}, {jax.device_count()} global devices")
     cfg = get_config(args.preset, args.hparams)
     log_dir = os.path.join(args.base_dir, f"logs-{args.model}")
     os.makedirs(log_dir, exist_ok=True)

@@ -67,7 +67,7 @@ class TacotronFeeder:
                  batches_per_group: Optional[int] = None,
                  pad_text_multiple: int = 1, pad_mel_multiple: int = 1,
                  seed: Optional[int] = None, test_inputs: bool = False,
-                 test_max_len: bool = False):
+                 test_max_len: bool = False, shard_by_host: bool = True):
         self.cfg = cfg
         self.data_folder = os.path.dirname(metadata_path)
         self.emt_only = emt_only
@@ -103,6 +103,19 @@ class TacotronFeeder:
         self.train_meta = [meta[i] for i in train_idx]
         self.test_meta = [meta[i] for i in test_idx]
         self._train_offset = 0
+
+        # multi-host: each host consumes a disjoint deterministic stride-shard
+        # of the train split (test set replicated for consistent eval); the
+        # shuffle RNG is decorrelated per host. Replaces the reference's
+        # single-process feeder (SURVEY §2.4 "sharded data loading per host").
+        if shard_by_host:
+            import jax
+            pc, pi = jax.process_count(), jax.process_index()
+            if pc > 1:
+                self.train_meta = self.train_meta[pi::pc]
+                base = seed if seed is not None else \
+                    cfg.train.tacotron_data_random_state
+                self.rng = np.random.default_rng(base + pi)
 
         # debug modes: constant data for deterministic graph-plumbing checks
         # (reference --TEST_INPUTS, feeder.py:343-348,446-450) and

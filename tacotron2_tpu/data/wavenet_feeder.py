@@ -43,7 +43,8 @@ class WaveNetFeeder:
 
     def __init__(self, cfg: Config, metadata_path: str,
                  base_dir: Optional[str] = None, *, gta: bool = True,
-                 batches_per_group: int = 64, seed: Optional[int] = None):
+                 batches_per_group: int = 64, seed: Optional[int] = None,
+                 shard_by_host: bool = True):
         self.cfg = cfg
         self.gta = gta
         self.data_dir = os.path.dirname(metadata_path)
@@ -64,6 +65,17 @@ class WaveNetFeeder:
         self.train_meta = [self.metadata[i] for i in train_idx]
         self.test_meta = [self.metadata[i] for i in test_idx]
         self._train_offset = 0
+
+        # multi-host disjoint stride-shard of the train split (see
+        # TacotronFeeder); test set replicated.
+        if shard_by_host:
+            import jax
+            pc, pi = jax.process_count(), jax.process_index()
+            if pc > 1:
+                self.train_meta = self.train_meta[pi::pc]
+                base = seed if seed is not None else \
+                    t.wavenet_data_random_state
+                self.rng = np.random.default_rng(base + pi)
 
     # -------------------------------------------------------------- loading
 

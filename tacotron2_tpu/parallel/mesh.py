@@ -21,6 +21,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import MeshConfig
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up from environment (SURVEY §2.4: replaces the
+    reference's single-process CPU-parameter-server story with
+    jax.distributed + pjit collectives over ICI/DCN).
+
+    Reads JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID); on TPU pods these are usually auto-detected and
+    `jax.distributed.initialize()` needs no arguments. Returns True when
+    distributed mode was initialized.
+    """
+    import os
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    kwargs = dict(coordinator_address=addr)
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def host_shard_indices(n: int) -> "np.ndarray":
+    """This host's deterministic stride-shard of range(n)."""
+    return np.arange(jax.process_index(), n, jax.process_count())
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build the ('data', 'model') mesh over available devices."""

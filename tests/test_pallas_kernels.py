@@ -80,3 +80,48 @@ def test_fused_sampler_bf16_cache_close():
                                       cache_dtype=jnp.bfloat16)
     err = np.max(np.abs(np.asarray(s_f32) - np.asarray(s_bf16)))
     assert err < 0.05, f"bf16 cache drifted too far: max err {err}"
+
+
+def test_fused_griffin_lim():
+    """Fused single-kernel G-L vs the XLA path.
+
+    Sample-wise equality is only meaningful at iters=0 (the pure iSTFT):
+    with iterations, near-zero-magnitude bins have noise-dominated phase
+    est/|est| and any f32 reordering diverges sample-wise (the same holds
+    between XLA CPU and TPU). The convergence criterion — spectral
+    consistency |STFT(y)| vs target S — must match.
+    """
+    from tacotron2_tpu.ops import stft as st
+    from tacotron2_tpu.ops.griffin_lim import griffin_lim
+    from tacotron2_tpu.ops.griffin_lim_kernel import fused_griffin_lim
+
+    n_fft, hop, win = 512, 128, 512
+    B, F = 2, 17
+    t = np.linspace(0, 1, hop * (F - 1))
+    y0 = np.stack([np.sin(2 * np.pi * (300 + 100 * b) * t)
+                   for b in range(B)]).astype(np.float32)
+    S = np.asarray(st.stft_mag(jnp.asarray(y0), n_fft, hop, win))
+
+    # iters=0: pure iSTFT, bit-comparable
+    ref0 = np.asarray(griffin_lim(jnp.asarray(S), n_fft, hop, win, iters=0))
+    out0 = np.asarray(fused_griffin_lim(jnp.asarray(S), n_fft, hop, win,
+                                        iters=0, interpret=True))
+    np.testing.assert_allclose(out0, ref0, atol=1e-5)
+
+    # iters=8: equal spectral-consistency error (within 10%)
+    def consistency(y):
+        mag = np.asarray(st.stft_mag(jnp.asarray(y), n_fft, hop, win))
+        return float(np.mean(np.abs(mag - S)))
+
+    ref8 = np.asarray(griffin_lim(jnp.asarray(S), n_fft, hop, win, iters=8))
+    out8 = np.asarray(fused_griffin_lim(jnp.asarray(S), n_fft, hop, win,
+                                        iters=8, interpret=True))
+    c_ref, c_out = consistency(ref8), consistency(out8)
+    assert c_out < c_ref * 1.1 + 1e-4, (c_out, c_ref)
+
+    # the reconstructed tone keeps its spectral peak
+    for b in range(B):
+        spec = np.abs(np.fft.rfft(out8[b]))
+        freq = np.fft.rfftfreq(out8.shape[-1], 1.0 / (hop * (F - 1)))
+        peak = freq[spec.argmax()]
+        assert abs(peak - (300 + 100 * b)) < 15, peak
