@@ -69,8 +69,9 @@ def main(out_dir="data/tiny", n=32, dataset="emt4", sr=None, seed=1234):
     with open(meta_path, "w", encoding="utf-8") as f:
         f.write("\n".join(meta_lines) + "\n")
 
+    # write_audio so the GTA -> WaveNet stage has waveform targets
     rows = build_from_path(cfg, meta_path, out_dir, out_dir, dataset,
-                           serial=True)
+                           serial=True, write_audio=True)
     write_metadata(rows, out_dir, cfg)
     return out_dir
 

@@ -265,9 +265,15 @@ def cmd_synthesize(args):
 
 
 def cmd_live(args):
-    """Interactive synthesis loop (reference synthesize.py 'live' mode)."""
+    """Interactive synthesis loop (reference synthesize.py 'live' mode,
+    playing each result through aplay when available)."""
+    import glob
+    import shutil
+    import subprocess
     args.mode = "eval"
-    print("live mode: type a sentence, empty line to exit")
+    player = shutil.which("aplay") or shutil.which("play")
+    print("live mode: type a sentence, empty line to exit"
+          + ("" if player else " (no audio player found; wavs saved only)"))
     while True:
         try:
             line = input("> ").strip()
@@ -278,6 +284,13 @@ def cmd_live(args):
         args.sentence = line
         args.text_list = None
         cmd_synthesize(args)
+        if player:
+            out_dir = args.output_dir or os.path.join(args.base_dir,
+                                                      "tacotron_output")
+            wavs = sorted(glob.glob(os.path.join(out_dir, "eval", "wavs",
+                                                 "*.wav")), key=os.path.getmtime)
+            if wavs:
+                subprocess.run([player, wavs[-1]], check=False)
 
 
 def cmd_disc_train(args):

@@ -118,28 +118,35 @@ def build_griffin_lim_kernel(n_fft: int, hop: int, win_size: int, F: int,
                wssinv_ref, out_ref):
         S = S_ref[0]                               # [F, Kp]
 
+        # plane loops are rolled fori_loops with dynamic leading-dim VMEM
+        # indexing — unrolling k=11 planes × 4 matmuls × 60 iterations makes
+        # Mosaic compile time explode through the remote-compile tunnel
         def istft_ola(re, im):
-            y = jnp.zeros((rows, hop), jnp.float32)
-            for s in range(k):
+            def plane(s, y):
                 fr_s = (jnp.dot(re, ciw_ref[s],
                                 preferred_element_type=jnp.float32)
                         - jnp.dot(im, siw_ref[s],
                                   preferred_element_type=jnp.float32))
-                y = y + jnp.dot(dn_ref[s], fr_s,
-                                preferred_element_type=jnp.float32)
+                return y + jnp.dot(dn_ref[s], fr_s,
+                                   preferred_element_type=jnp.float32)
+            y = jax.lax.fori_loop(0, k, plane,
+                                  jnp.zeros((rows, hop), jnp.float32))
             return y * wssinv_ref[:]
 
         def body(_, carry):
             re, im = carry
             y = istft_ola(re, im)
-            est_re = jnp.zeros((F, Kp), jnp.float32)
-            est_im = jnp.zeros((F, Kp), jnp.float32)
-            for s in range(k):
+
+            def plane(s, acc):
+                est_re, est_im = acc
                 ys = jnp.dot(up_ref[s], y, preferred_element_type=jnp.float32)
-                est_re = est_re + jnp.dot(ys, cw_ref[s],
-                                          preferred_element_type=jnp.float32)
-                est_im = est_im - jnp.dot(ys, sw_ref[s],
-                                          preferred_element_type=jnp.float32)
+                return (est_re + jnp.dot(ys, cw_ref[s],
+                                         preferred_element_type=jnp.float32),
+                        est_im - jnp.dot(ys, sw_ref[s],
+                                         preferred_element_type=jnp.float32))
+            est_re, est_im = jax.lax.fori_loop(
+                0, k, plane, (jnp.zeros((F, Kp), jnp.float32),
+                              jnp.zeros((F, Kp), jnp.float32)))
             mag = jnp.maximum(1e-8, jnp.sqrt(est_re * est_re + est_im * est_im))
             return (S * est_re / mag, S * est_im / mag)
 

@@ -47,7 +47,14 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     batches = iter(feeder.train_batches(bs))
 
     trainer = WaveNetTrainer(cfg)
-    first = next(batches)
+    try:
+        first = next(batches)
+    except (IOError, FileNotFoundError) as e:
+        raise RuntimeError(
+            f"WaveNet feeder could not load its first batch ({e}). If this is "
+            "a missing audio-*.npy, rerun preprocessing with --write-audio — "
+            "vocoder training needs waveform targets alongside the mels."
+        ) from e
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.wavenet_random_seed),
                                first)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
