@@ -58,7 +58,8 @@ def bench_vocoder(cfg, B=64, seconds=1.0, chunk=512, B_exact=32):
         c_up = jnp.asarray(rng.uniform(0, 1, (batch, T, cfg.wavenet.cin_channels)),
                            jnp.float32)
         run = build_sampler_kernel(cfg, batch, T, chunk=chunk,
-                                   cache_dtype=cache_dtype)
+                                   cache_dtype=cache_dtype,
+                                   weight_dtype=cache_dtype)
         np.asarray(run(sp, c_up, 7))  # compile
         iters = 3
         t0 = time.perf_counter()

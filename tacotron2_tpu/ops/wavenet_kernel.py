@@ -55,7 +55,8 @@ def _uniform_from_bits(bits):
 
 def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                          interpret: bool = False,
-                         cache_dtype=jnp.float32):
+                         cache_dtype=jnp.float32,
+                         weight_dtype=jnp.float32):
     """Compile a fused sampler for fixed (batch B, length T) buckets.
 
     Returns fn(params_tuple, c_up [B,T,C], seed int32) → samples [B, T].
@@ -64,6 +65,11 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
     sum(dilations)·B·2R floats), unlocking B=64 on one chip; activations are
     quantized to bf16 between layers only at the delay-line boundary while
     all matmuls still accumulate in f32.
+
+    weight_dtype=bfloat16 additionally stores the per-layer matmul weights in
+    bf16 and feeds the MXU bf16×bf16 (f32 accumulation) — both halves weight
+    VMEM and engages the MXU's native bf16 rate. Residual/skip accumulators
+    and biases stay f32.
     """
     wn = cfg.wavenet
     assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
@@ -100,7 +106,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
 
             def step_body(i, _):
                 t = ci * chunk + i
-                ct = cbuf[i]                                   # [B, C]
+                ct = cbuf[i].astype(weight_dtype)              # [B, C]
                 x_in = xprev[:, :1]                            # [B, 1]
                 x = jnp.dot(x_in, first_w[:],
                             preferred_element_type=jnp.float32) + first_b[:]
@@ -108,20 +114,22 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
                     idx = offs[l] + jax.lax.rem(t, dilations[l])
-                    old = buf[idx].astype(jnp.float32)         # [B, 2R]
+                    old = buf[idx]                             # [B, 2R]
                     taps = jnp.concatenate(
-                        [old[:, R:], old[:, :R], x], axis=-1)  # [B, 3R]
+                        [old[:, R:], old[:, :R],
+                         x.astype(cache_dtype)], axis=-1)      # [B, 3R]
                     buf[idx] = jnp.concatenate(
-                        [x, old[:, :R]], axis=-1).astype(cache_dtype)
-                    z = jnp.dot(taps, conv_w[l],
+                        [x.astype(cache_dtype), old[:, :R]], axis=-1)
+                    z = jnp.dot(taps.astype(weight_dtype), conv_w[l],
                                 preferred_element_type=jnp.float32) + conv_b[l]
                     z = z + jnp.dot(ct, cin_w[l],
                                     preferred_element_type=jnp.float32) + cin_b[l]
                     a, g = z[:, :G // 2], z[:, G // 2:]
                     h = jnp.tanh(a) * jax.nn.sigmoid(g)
-                    s = jnp.dot(h, skip_w[l],
+                    hw = h.astype(weight_dtype)
+                    s = jnp.dot(hw, skip_w[l],
                                 preferred_element_type=jnp.float32) + skip_b[l]
-                    o = jnp.dot(h, out_w[l],
+                    o = jnp.dot(hw, out_w[l],
                                 preferred_element_type=jnp.float32) + out_b[l]
                     if wn.residual_legacy:
                         x = (x + o) * legacy_scale
@@ -186,14 +194,16 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
         if cup_tm.shape[-1] != C:
             cup_tm = jnp.pad(cup_tm,
                              ((0, 0), (0, 0), (0, C - cup_tm.shape[-1])))
-        lw = _stack_weights(weights, cfg, cin_pad=C)
+        lw = _stack_weights(weights, cfg, cin_pad=C,
+                            weight_dtype=weight_dtype)
         samples = call(jnp.asarray([seed], jnp.int32), cup_tm, *lw)
         return jnp.swapaxes(samples, 0, 1)    # [B, T]
 
     return run
 
 
-def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None):
+def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None,
+                   weight_dtype=jnp.float32):
     """SamplerParams → stacked [L, ...] arrays the kernel indexes statically."""
     wn = cfg.wavenet
     cin_pad = cin_pad or wn.cin_channels
@@ -216,6 +226,10 @@ def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None):
     fb = sp.first_b if sp.first_b is not None else z(wn.residual_channels)
     f1b = sp.final1_b if sp.final1_b is not None else z(wn.skip_out_channels)
     f2b = sp.final2_b if sp.final2_b is not None else z(wn.out_channels)
+    conv_w = conv_w.astype(weight_dtype)
+    cin_w = cin_w.astype(weight_dtype)
+    skip_w = skip_w.astype(weight_dtype)
+    out_w = out_w.astype(weight_dtype)
     return (conv_w, conv_b, cin_w, cin_b, skip_w, skip_b, out_w, out_b,
             sp.first_w, fb, sp.final1_w, f1b, sp.final2_w, f2b)
 
@@ -265,7 +279,8 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
 
 def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
                              chunk: int = 512, interpret: bool = False,
-                             cache_dtype=jnp.float32):
+                             cache_dtype=jnp.float32,
+                             weight_dtype=jnp.float32):
     """Drop-in fast path for sampler.incremental_sample (Gaussian head).
 
     c_up: [B, T, C]; T is padded to a chunk multiple internally and trimmed.
@@ -277,6 +292,7 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
     if T_pad != T:
         c_up = jnp.pad(c_up, ((0, 0), (0, T_pad - T), (0, 0)))
     run = build_sampler_kernel(cfg, B, T_pad, chunk, interpret=interpret,
-                               cache_dtype=cache_dtype)
+                               cache_dtype=cache_dtype,
+                               weight_dtype=weight_dtype)
     samples = run(sp, c_up, seed)
     return samples[:, :T]

@@ -125,3 +125,16 @@ def test_fused_griffin_lim():
         freq = np.fft.rfftfreq(out8.shape[-1], 1.0 / (hop * (F - 1)))
         peak = freq[spec.argmax()]
         assert abs(peak - (300 + 100 * b)) < 15, peak
+
+
+def test_fused_sampler_bf16_weights_close():
+    """bf16 weight storage (MXU-native rate): output stays close to f32."""
+    cfg, params, c_up = _setup()
+    s_f32 = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                     interpret=True)
+    s_bf16 = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                      interpret=True,
+                                      cache_dtype=jnp.bfloat16,
+                                      weight_dtype=jnp.bfloat16)
+    err = np.max(np.abs(np.asarray(s_f32) - np.asarray(s_bf16)))
+    assert err < 0.1, f"bf16 weights drifted too far: max err {err}"
