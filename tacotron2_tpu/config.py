@@ -180,6 +180,9 @@ class WaveNetConfig:
     # XLA scan) or 'bfloat16' (halves VMEM -> B=64/chip, ~1.5x throughput;
     # drift bounded by tests/test_pallas_kernels.py)
     sampler_cache_dtype: str = "float32"
+    # fused-sampler weight storage: 'bfloat16' engages the MXU's native bf16
+    # rate (drift-bounded by tests); 'float32' is bit-exact
+    sampler_weight_dtype: str = "float32"
     legacy: bool = True            # sqrt(0.5) skip scaling
     residual_legacy: bool = True   # sqrt(0.5) residual scaling
 

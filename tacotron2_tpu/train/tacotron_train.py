@@ -141,6 +141,7 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
             log(f"Saved checkpoint at step {step}")
 
         if step % eval_interval == 0 and step > start_step:
+            _eval_losses(trainer, state, feeder, bs, summary, step)
             _eval_synthesis(cfg, trainer, state, first, eval_dir, step,
                             eval_sentences)
 
@@ -150,6 +151,35 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     summary.close()
     profiler.close()
     return ckpt_dir, state
+
+
+def _eval_losses(trainer, state, feeder, batch_size, summary, step,
+                 max_batches: int = 4):
+    """Teacher-forced losses on the held-out split (reference eval model
+    scalars, tacotron/train.py:92-102,602-650)."""
+    import jax
+
+    try:
+        eval_bs = min(batch_size, max(1, len(feeder.test_meta)))
+        batches = feeder.test_batches(eval_bs)[:max_batches]
+        if not batches:
+            return
+        eval_fn = jax.jit(trainer.eval_step)
+        rng = jax.random.PRNGKey(0)
+        acc = {}
+        for b in batches:
+            _, terms = eval_fn(state, b, rng)
+            for k, v in terms.items():
+                if np.ndim(v) == 0:
+                    acc.setdefault(k, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in acc.items()}
+        summary.scalars(step, means, prefix="eval/")
+        log(f"Eval step {step}: loss={means.get('loss', float('nan')):.5f} "
+            f"before={means.get('before_loss', float('nan')):.5f} "
+            f"after={means.get('after_loss', float('nan')):.5f} "
+            f"stop={means.get('stop_token_loss', float('nan')):.5f}")
+    except Exception as e:  # eval must never kill training
+        log(f"eval losses failed at step {step}: {e}")
 
 
 def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,

@@ -104,6 +104,7 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
             log(f"Saved checkpoint at step {step} (params + EMA shadow)")
 
         if step % eval_interval == 0:
+            _eval_losses(trainer, state, feeder, bs, summary, step)
             _eval_generation(cfg, state, first, eval_dir, step)
 
     mgr.save(int(state.step), state)
@@ -112,6 +113,25 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     summary.close()
     profiler.close()
     return ckpt_dir, state
+
+
+def _eval_losses(trainer, state, feeder, batch_size, summary, step,
+                 max_batches: int = 2):
+    """Held-out-split losses (reference wavenet eval scalars, train.py:41-64)."""
+    try:
+        eval_bs = min(batch_size, max(1, len(feeder.test_meta)))
+        batches = feeder.test_batches(eval_bs)[:max_batches]
+        if not batches:
+            return
+        eval_fn = jax.jit(trainer.eval_step)
+        acc = []
+        for b in batches:
+            _, terms = eval_fn(state, b)
+            acc.append(float(terms["loss"]))
+        summary.scalars(step, {"loss": float(np.mean(acc))}, prefix="eval/")
+        log(f"Eval step {step}: loss={float(np.mean(acc)):.5f}")
+    except Exception as e:  # eval must never kill training
+        log(f"wavenet eval losses failed at step {step}: {e}")
 
 
 def _eval_generation(cfg, state, batch, eval_dir, step):
