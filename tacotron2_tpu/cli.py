@@ -98,7 +98,9 @@ def cmd_train(args):
                        train_steps=args.train_steps, restore=args.restore,
                        batch_size=args.batch_size,
                        feeder_kwargs=feeder_kwargs,
-                       trainer_kwargs=trainer_kwargs, **profile_kwargs)
+                       trainer_kwargs=trainer_kwargs,
+                       save_output_vars=args.save_output_vars,
+                       **profile_kwargs)
     elif args.model == "WaveNet":
         from .train.wavenet_train import wavenet_train
         wavenet_train(cfg, args.input_path, log_dir,
@@ -190,6 +192,7 @@ def cmd_synthesize(args):
                                            run_gta_synthesis,
                                            run_style_embs,
                                            run_style_transfer,
+                                           run_synthesis_multiple,
                                            run_synthesis_random)
         from .train.checkpoint import CheckpointManager
         from .train.tacotron_step import TacotronTrainer
@@ -226,6 +229,11 @@ def cmd_synthesize(args):
             map_path = run_synthesis_random(
                 synth, args.input_path, input_dir, out_dir,
                 paired=args.paired)
+        elif args.mode == "synthesis_multiple":
+            input_dir = args.input_dir or os.path.dirname(args.input_path or "")
+            map_path = run_synthesis_multiple(
+                synth, args.input_path, input_dir, out_dir,
+                flip_spk_emt=args.flip_spk_emt)
         elif args.mode == "style_embs":
             input_dir = args.input_dir or os.path.dirname(args.input_path or "")
             map_path = run_style_embs(
@@ -236,7 +244,8 @@ def cmd_synthesize(args):
             refs_spk = [ref_spk] * len(sentences)
             map_path = run_eval(synth, sentences, refs, refs_spk, out_dir)
         log(f"tacotron synthesis done -> {map_path}")
-        if args.mode in ("synthesis_random", "style_embs"):
+        if args.mode in ("synthesis_random", "synthesis_multiple",
+                         "style_embs"):
             return
 
     if args.model in ("WaveNet", "Tacotron-2"):
@@ -386,7 +395,7 @@ def build_parser() -> argparse.ArgumentParser:
     for flag in ["emt-only", "intercross-both", "unpaired", "adv-emb-disc",
                  "nat-gan", "opt-ref-no-mo", "pretrained-emb-disc",
                  "pretrained-emb-disc-all", "remove-long-samps",
-                 "test-inputs", "test-max-len"]:
+                 "test-inputs", "test-max-len", "save-output-vars"]:
         tr.add_argument(f"--{flag}", action="store_true")
     tr.set_defaults(func=cmd_train)
 
@@ -395,7 +404,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["Tacotron", "WaveNet", "Tacotron-2"])
     sy.add_argument("--mode", default="eval",
                     choices=["eval", "gta", "synthesis", "synthesis_random",
-                             "style_embs"])
+                             "synthesis_multiple", "style_embs"])
     sy.add_argument("--synth-metadata", default=None,
                     help="synthesis-mode metadata file (train.txt schema + "
                          "ref columns 12/14)")

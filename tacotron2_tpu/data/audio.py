@@ -45,6 +45,8 @@ def load_wav(path: str, sr: int) -> np.ndarray:
 def save_wav(wav: np.ndarray, path: str, sr: int) -> None:
     """Peak-normalize to int16 and write (reference audio.py:12-15)."""
     wav = np.asarray(wav, dtype=np.float32)
+    if wav.size == 0:  # degenerate synthesis (e.g. stop token at step 0)
+        wav = np.zeros(1, np.float32)
     wav = wav * (32767 / max(0.01, np.max(np.abs(wav))))
     wavfile.write(path, sr, wav.astype(np.int16))
 

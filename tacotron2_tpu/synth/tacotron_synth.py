@@ -405,6 +405,93 @@ def run_synthesis_random(synth: TacotronSynthesizer, train_txt: str,
     return synth_dir
 
 
+def run_synthesis_multiple(synth: TacotronSynthesizer, train_txt: str,
+                           input_dir: str, output_dir: str, *,
+                           accents: Optional[Sequence[int]] = None,
+                           n_spk_per_accent: int = 2, n_text_per_spk: int = 5,
+                           min_frames: int = 200, seed: int = 0,
+                           flip_spk_emt: bool = False, batch_size: int = 16,
+                           acc_names: Optional[Sequence[str]] = None) -> str:
+    """Accent-cross experiment batcher (reference run_synthesis_multiple,
+    tacotron/synthesize.py:233-305): pick N speakers per chosen accent group
+    (the emt_label column doubles as the accent id for VCTK-style corpora) and
+    M long texts per speaker, then synthesize each text once per chosen accent
+    with a random reference utterance from that accent as the emotion/accent
+    ref and the utterance's own mel as the speaker ref.
+
+    Differences from the reference: accents/counts are parameters instead of
+    hard-coded ['0','3']; the accent display names default to the reference's
+    VCTK list but any corpus's label names can be passed; the random choices
+    are seeded for reproducibility.
+    """
+    if acc_names is None:
+        # VCTK accent display names (tacotron/synthesize.py:264-265)
+        acc_names = ["American", "Australian", "Canadian", "English", "Indian",
+                     "Irish", "NewZealand", "NorthernIrish", "Scottish",
+                     "SouthAfrican", "Welsh"]
+    rng = np.random.default_rng(seed)
+    synth_dir = os.path.abspath(os.path.join(output_dir, "multiple"))
+    for sub in ("mels", "wavs"):
+        os.makedirs(os.path.join(synth_dir, sub), exist_ok=True)
+    meta = _read_meta(train_txt)
+    # only synthesize long samples (reference synthesize.py:253-254)
+    meta = [m for m in meta if int(m[6]) > min_frames]
+    by_acc: Dict[int, list] = {}
+    for m in meta:
+        by_acc.setdefault(int(m[8]), []).append(m)
+    if accents is None:
+        accents = sorted(by_acc)[:2]
+    accents = [a for a in accents if a in by_acc]
+
+    def _name(a: int) -> str:
+        return acc_names[a][:2] if a < len(acc_names) else str(a)
+
+    texts, refs_emt, refs_spk, basenames = [], [], [], []
+    for acc in accents:
+        rows = by_acc[acc]
+        spks = sorted({int(m[9]) for m in rows})
+        chosen_spks = rng.choice(spks, min(n_spk_per_accent, len(spks)),
+                                 replace=False)
+        for spk in chosen_spks:
+            spk_rows = [m for m in rows if int(m[9]) == int(spk)]
+            idxs = rng.choice(len(spk_rows),
+                              min(n_text_per_spk, len(spk_rows)),
+                              replace=False)
+            for ti in idxs:
+                row = spk_rows[int(ti)]
+                own = os.path.join(input_dir, row[0], "mels", row[2])
+                for acc_ref in accents:
+                    ref_row = by_acc[acc_ref][int(rng.choice(len(by_acc[acc_ref])))]
+                    texts.append(row[7])
+                    refs_spk.append(own)
+                    refs_emt.append(os.path.join(input_dir, ref_row[0], "mels",
+                                                 ref_row[2]))
+                    sex = row[11] if len(row) > 11 else ""
+                    basenames.append(f"{row[10].split('.')[0]}_{_name(acc)}"
+                                     f"_{sex}_{_name(acc_ref)}")
+    if flip_spk_emt:
+        refs_emt, refs_spk = refs_spk, refs_emt
+
+    log(f"synthesis_multiple: {len(texts)} samples "
+        f"({len(accents)} accents x {n_spk_per_accent} spk x {n_text_per_spk})")
+    for start in range(0, len(texts), batch_size):
+        sl = slice(start, start + batch_size)
+        result = synth.synthesize(texts[sl],
+                                  [np.load(p) for p in refs_emt[sl]],
+                                  [np.load(p) for p in refs_spk[sl]])
+        for j, mel in enumerate(result["mels"]):
+            i = start + j
+            np.save(os.path.join(synth_dir, "mels", f"mel-{basenames[i]}.npy"),
+                    mel, allow_pickle=False)
+            wav = synth.mel_to_wav(mel)
+            host_audio.save_wav(
+                wav, os.path.join(synth_dir, "wavs", f"wav-{basenames[i]}.wav"),
+                synth.cfg.audio.sample_rate)
+        log(f"synthesis_multiple {min(start + batch_size, len(texts))}"
+            f"/{len(texts)}")
+    return synth_dir
+
+
 def run_style_embs(synth: TacotronSynthesizer, train_txt: str, input_dir: str,
                    output_dir: str, *, n_spk: int = 8, n_per_spk: int = 8,
                    seed: int = 0, batch_size: int = 16) -> str:

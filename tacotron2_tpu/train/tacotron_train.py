@@ -40,7 +40,8 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
                    checkpoint_interval: Optional[int] = None,
                    eval_interval: Optional[int] = None,
                    profile_start: Optional[int] = None,
-                   profile_end: Optional[int] = None):
+                   profile_end: Optional[int] = None,
+                   save_output_vars: bool = False):
     """Train the spectrogram predictor; returns the checkpoint directory."""
     steps = train_steps or cfg.train.tacotron_train_steps
     ckpt_interval = checkpoint_interval or cfg.train.checkpoint_interval
@@ -144,6 +145,10 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
             _eval_losses(trainer, state, feeder, bs, summary, step)
             _eval_synthesis(cfg, trainer, state, first, eval_dir, step,
                             eval_sentences)
+        if save_output_vars and (step == start_step + 1
+                                 or step % eval_interval == 0):
+            _save_output_vars(trainer, state, batch,
+                              os.path.join(log_dir, "output_vars"), step)
 
     mgr.save(int(state.step), state)
     log(f"Tacotron training complete at step {int(state.step)}", slack=True)
@@ -151,6 +156,40 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     summary.close()
     profiler.close()
     return ckpt_dir, state
+
+
+def _save_output_vars(trainer, state, batch, out_dir, step):
+    """Debug CSV dumps of intermediate tensors (reference --save_output_vars,
+    code/train.py:140 + tacotron/train.py:446-449: per-step CSVs of mel/decoder
+    outputs and inputs/targets for offline numerics comparison)."""
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        out, _ = jax.jit(trainer.eval_step)(state, batch,
+                                            jax.random.PRNGKey(0))
+        dumps = {
+            "mels": np.asarray(out.mel_outputs)[0],
+            "dec_out": np.asarray(out.decoder_output)[0],
+            "stop": np.asarray(out.stop_token_prediction),
+            "align": np.asarray(out.alignments)[0],
+            "inp": np.asarray(batch["inputs"]),
+            "inp_len": np.asarray(batch["input_lengths"])[:, None],
+            "targ": np.asarray(batch["mel_targets"])[0],
+        }
+        if "target_lengths" in batch:
+            dumps["targ_len"] = np.asarray(batch["target_lengths"])[:, None]
+        if "stop_token_targets" in batch:
+            dumps["stop_targ"] = np.asarray(batch["stop_token_targets"])
+        if out.refnet_out_emt is not None:
+            dumps["emb"] = np.asarray(out.refnet_out_emt)
+        for name, arr in dumps.items():
+            np.savetxt(os.path.join(out_dir, f"{name}-{step}.csv"),
+                       np.asarray(arr, np.float32).reshape(arr.shape[0], -1),
+                       delimiter=",", fmt="%.6g")
+        log(f"Dumped output vars for step {step} -> {out_dir}")
+    except Exception as e:  # debug dump must never kill training
+        log(f"save_output_vars failed at step {step}: {e}")
 
 
 def _eval_losses(trainer, state, feeder, batch_size, summary, step,

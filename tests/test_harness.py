@@ -174,9 +174,14 @@ def test_cli_pipeline(tmp_path):
 
     run("train", "--model", "Tacotron", "--input-path",
         os.path.join(corpus, "train.txt"), "--train-steps", "3",
-        "--batch-size", "2")
+        "--batch-size", "2", "--save-output-vars")
     ckpt = str(tmp_path / "run" / "logs-Tacotron" / "taco_pretrained")
     assert os.path.isdir(ckpt)
+    # --save-output-vars dumps debug CSVs at the first step
+    # (reference train.py:140 + tacotron/train.py:446-449)
+    ov_dir = tmp_path / "run" / "logs-Tacotron" / "output_vars"
+    for name in ("mels", "dec_out", "stop", "inp", "targ"):
+        assert (ov_dir / f"{name}-1.csv").exists(), name
     run("synthesize", "--model", "Tacotron", "--mode", "eval",
         "--checkpoint", ckpt, "--sentence", "Hello there.")
     eval_dir = tmp_path / "run" / "tacotron_output" / "eval"

@@ -94,6 +94,27 @@ def test_style_transfer_driver(tmp_path):
         assert mel.shape[1] == cfg.audio.num_mels
 
 
+def test_synthesis_multiple_driver(tmp_path):
+    """Accent-cross batcher: N spk per accent x M texts x each chosen accent
+    as ref (reference run_synthesis_multiple, tacotron/synthesize.py:233-305)."""
+    from tacotron2_tpu.synth.tacotron_synth import run_synthesis_multiple
+    cfg, synth = _tiny_synth()
+    train_txt = _fake_corpus(str(tmp_path), cfg, n=6)
+    out = run_synthesis_multiple(
+        synth, train_txt, str(tmp_path), str(tmp_path / "out"),
+        n_spk_per_accent=1, n_text_per_spk=2, min_frames=0, seed=1)
+    mels = sorted(os.listdir(os.path.join(out, "mels")))
+    wavs = sorted(os.listdir(os.path.join(out, "wavs")))
+    # 2 accents (emt labels 0/1) x 1 spk x 2 texts x 2 refs = 8 samples
+    assert len(mels) == 8 and len(wavs) == 8
+    # basenames carry the source and ref accent tags
+    assert any("_Am_" in m for m in mels) and any(
+        m.rstrip(".npy").endswith("_Au") for m in mels)
+    for m in mels:
+        arr = np.load(os.path.join(out, "mels", m))
+        assert arr.shape[1] == cfg.audio.num_mels
+
+
 def test_style_embs_export(tmp_path):
     from tacotron2_tpu.synth.tacotron_synth import run_style_embs
     cfg, synth = _tiny_synth()
