@@ -307,7 +307,19 @@ def cmd_disc_train(args):
     cfg = get_config(args.preset, args.hparams)
     disc_train(cfg, args.input_path, args.base_dir, kind=args.kind,
                train_steps=args.train_steps, n_per_class=args.n_per_class,
-               loss_type=args.loss_type)
+               loss_type=args.loss_type,
+               remove_long_samps=args.remove_long_samps,
+               stacks_dir=args.stacks_dir)
+
+
+def cmd_disc_preprocess(args):
+    from .disc.data_preprocess import build_speaker_stacks
+    cfg = get_config(args.preset, args.hparams)
+    build_speaker_stacks(args.corpus_dir, args.output_dir, cfg.audio,
+                         n_mels=args.n_mels, tisv_frame=args.tisv_frame,
+                         top_db=args.top_db, edges_only=args.edges_only,
+                         test_fraction=args.test_fraction,
+                         n_jobs=args.n_jobs)
 
 
 def cmd_fixed_eval_set(args):
@@ -436,13 +448,35 @@ def build_parser() -> argparse.ArgumentParser:
     lv.set_defaults(func=cmd_live, model="Tacotron", mode="eval")
 
     dt = sub.add_parser("disc-train")
-    dt.add_argument("--input-path", required=True)
-    dt.add_argument("--kind", default="emt", choices=["emt", "spk"])
+    dt.add_argument("--input-path", default=None,
+                    help="train.txt metadata (omit when using --stacks-dir)")
+    dt.add_argument("--kind", default="emt",
+                    choices=["emt", "spk", "accent"])
     dt.add_argument("--train-steps", type=int, default=10000)
     dt.add_argument("--n-per-class", type=int, default=8)
     dt.add_argument("--loss-type", default="softmax",
                     choices=["softmax", "contrast", "ce"])
+    dt.add_argument("--remove-long-samps", action="store_true")
+    dt.add_argument("--stacks-dir", default=None,
+                    help="train on TI-SV speaker stacks from disc-preprocess "
+                         "instead of train.txt metadata")
     dt.set_defaults(func=cmd_disc_train)
+
+    dp = sub.add_parser("disc-preprocess",
+                        help="extract TI-SV per-speaker log-mel stacks from "
+                             "a <corpus>/<speaker>/**/*.wav layout "
+                             "(reference spk_disc/data_preprocess.py)")
+    dp.add_argument("--corpus-dir", required=True)
+    dp.add_argument("--output-dir", required=True)
+    dp.add_argument("--n-mels", type=int, default=40)
+    dp.add_argument("--tisv-frame", type=int, default=140)
+    dp.add_argument("--top-db", type=float, default=20.0)
+    dp.add_argument("--edges-only", action="store_true",
+                    help="keep only the first/last window per voiced "
+                         "interval (VCTK variant) instead of every window")
+    dp.add_argument("--test-fraction", type=float, default=0.1)
+    dp.add_argument("--n-jobs", type=int, default=None)
+    dp.set_defaults(func=cmd_disc_preprocess)
 
     dx = sub.add_parser("disc-test",
                         help="classify synthesized mels with a trained "
@@ -450,7 +484,8 @@ def build_parser() -> argparse.ArgumentParser:
     dx.add_argument("--checkpoint", required=True)
     dx.add_argument("--map-path", required=True,
                     help="synthesis map.txt or train.txt")
-    dx.add_argument("--kind", default="emt", choices=["emt", "spk"])
+    dx.add_argument("--kind", default="emt",
+                    choices=["emt", "spk", "accent"])
     dx.add_argument("--n-classes", type=int, default=None)
     dx.add_argument("--output-dir", default=None)
     dx.set_defaults(func=cmd_disc_test)

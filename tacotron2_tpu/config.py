@@ -443,14 +443,26 @@ PRESETS = {"default": default_config, "paper": paper_config}
 
 
 def get_config(preset: str = "default", overrides: str | dict | None = None) -> Config:
-    """Preset + CLI overrides + machine-level env override.
+    """Preset + machine overrides + env override + CLI overrides.
 
-    `TACO_HPARAMS` (same dotted syntax as --hparams) is applied before the
-    explicit overrides — the generic replacement for the reference's
-    hostname-keyed dev-box config switches (train.py:170-180).
+    Two machine-level hooks replace the reference's hostname-keyed dev-box
+    config switches (train.py:170-180), applied before explicit overrides:
+    - `TACO_MACHINES`: path to a JSON file `{hostname: overrides}`; the entry
+      whose key equals `socket.gethostname()` (or "*" as fallback) applies.
+      Values use the same dotted syntax as --hparams (string or dict).
+    - `TACO_HPARAMS`: dotted overrides applied directly.
     """
+    import json
     import os
     cfg = PRESETS[preset]()
+    machines_path = os.environ.get("TACO_MACHINES")
+    if machines_path and os.path.exists(machines_path):
+        import socket
+        with open(machines_path, encoding="utf-8") as f:
+            machines = json.load(f)
+        entry = machines.get(socket.gethostname(), machines.get("*"))
+        if entry:
+            cfg = cfg.with_overrides(entry)
     env = os.environ.get("TACO_HPARAMS")
     if env:
         cfg = cfg.with_overrides(env)

@@ -101,6 +101,34 @@ def trim_silence(wav: np.ndarray, cfg: AudioConfig) -> np.ndarray:
     return wav[start:end]
 
 
+def split_silence(wav: np.ndarray, top_db: float = 20.0,
+                  frame_length: int = 2048, hop_length: int = 512) -> np.ndarray:
+    """Non-silent intervals `[[start, end), ...]` in samples.
+
+    Behavioral twin of librosa.effects.split (used as voice-activity
+    detection by the reference's TI-SV discriminator preprocessing,
+    spk_disc/data_preprocess.py:118,175): frame-wise RMS in dB relative to
+    the peak frame, contiguous runs above `-top_db` become intervals.
+    """
+    wav = np.asarray(wav)
+    if len(wav) == 0:
+        return np.zeros((0, 2), np.int64)
+    padded = np.pad(wav, (frame_length // 2, frame_length // 2))
+    num = 1 + (len(padded) - frame_length) // hop_length
+    idx = (np.arange(num)[:, None] * hop_length
+           + np.arange(frame_length)[None, :])
+    rms = np.sqrt(np.mean(padded[idx] ** 2, axis=1))
+    ref = np.max(rms)
+    if ref <= 0:
+        return np.zeros((0, 2), np.int64)
+    nonsilent = 20.0 * np.log10(np.maximum(rms, 1e-10) / ref) > -top_db
+    edges = np.diff(nonsilent.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(edges == 1) * hop_length
+    ends = np.flatnonzero(edges == -1) * hop_length
+    return np.stack([np.minimum(starts, len(wav)),
+                     np.minimum(ends, len(wav))], axis=1).astype(np.int64)
+
+
 def start_and_end_indices(quantized: np.ndarray, silence_threshold: int = 2):
     """First/last sample outside mulaw silence (reference audio.py:33-44)."""
     nonsilent = np.flatnonzero(np.abs(quantized.astype(np.int64) - 127) > silence_threshold)

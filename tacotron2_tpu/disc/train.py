@@ -23,10 +23,19 @@ from .model import DiscriminatorModel, disc_ce_loss, ge2e_loss, similarity_matri
 
 
 class DiscFeeder:
-    """Groups train.txt rows by class; yields [N·M, T, mels] batches."""
+    """Groups train.txt rows by class; yields [N·M, T, mels] batches.
+
+    `kind` selects the label column: "emt" (col 8), "spk" (col 9), or
+    "accent" — the reference's third discriminator type (spk_disc/utils.py
+    :218-223, :287-289) where the emt_label column doubles as the accent id
+    and only the `keep_top_accents` most frequent accents are kept (the
+    reference hard-codes its 5 largest VCTK accents [0,2,3,5,8]).
+    `remove_long_samps` drops rows over 500 frames (utils.py:209-217).
+    """
 
     def __init__(self, cfg: Config, metadata_path: str, kind: str = "emt",
-                 crop_frames: int = 128, seed: int = 1234):
+                 crop_frames: int = 128, seed: int = 1234,
+                 remove_long_samps: bool = False, keep_top_accents: int = 5):
         self.cfg = cfg
         self.kind = kind
         self.crop = crop_frames
@@ -34,10 +43,21 @@ class DiscFeeder:
         self.rng = np.random.default_rng(seed)
         with open(metadata_path, encoding="utf-8") as f:
             rows = [line.strip().split("|") for line in f if line.strip()]
-        col = 8 if kind == "emt" else 9
+        if remove_long_samps:
+            n_before = len(rows)
+            rows = [r for r in rows if int(r[6]) < 500]
+            log(f"disc feeder: removed long samples {n_before} -> {len(rows)}")
+        col = 9 if kind == "spk" else 8
         self.by_class: Dict[int, list] = {}
         for r in rows:
             self.by_class.setdefault(int(float(r[col])), []).append(r)
+        if kind == "accent" and len(self.by_class) > keep_top_accents:
+            top = sorted(self.by_class,
+                         key=lambda c: len(self.by_class[c]),
+                         reverse=True)[:keep_top_accents]
+            self.by_class = {c: self.by_class[c] for c in sorted(top)}
+            log(f"disc feeder: kept {keep_top_accents} largest accents "
+                f"{sorted(top)}")
         self.classes = sorted(self.by_class)
 
     @property
@@ -68,13 +88,71 @@ class DiscFeeder:
                        labels=np.asarray(labels, np.int32), N=N, M=M)
 
 
+class DiscStackFeeder:
+    """GE2E batches from per-speaker TI-SV stacks (`speaker<i>.npy`).
+
+    The reference's utils.py `random_batch_old` (:30-107): each stack is
+    `[n_windows, n_mels, frames]` from `disc.data_preprocess`; a batch picks
+    N random speakers x M random windows each and yields
+    `[N·M, frames, n_mels]` (time-major per utterance, matching the
+    DiscriminatorModel input), labels = stack index.
+    """
+
+    def __init__(self, stacks_dir: str, seed: int = 1234):
+        import re
+        paths = [p for p in os.listdir(stacks_dir)
+                 if re.fullmatch(r"speaker\d+\.npy", p)]
+        if not paths:
+            raise FileNotFoundError(
+                f"no speaker<i>.npy stacks in {stacks_dir!r}; run "
+                "`disc-preprocess` first")
+        paths.sort(key=lambda p: int(p[len("speaker"):-len(".npy")]))
+        self.stacks = [np.load(os.path.join(stacks_dir, p), mmap_mode="r")
+                       for p in paths]
+        self.rng = np.random.default_rng(seed)
+        self.classes = list(range(len(self.stacks)))
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.stacks)
+
+    def batches(self, N: Optional[int] = None, M: int = 8) -> Iterator[Dict]:
+        N = N or min(4, self.n_classes)
+        while True:
+            chosen = self.rng.choice(self.n_classes, size=N,
+                                     replace=N > self.n_classes)
+            mels, labels = [], []
+            for c in chosen:
+                stack = self.stacks[int(c)]
+                idx = self.rng.integers(0, stack.shape[0], size=M)
+                for i in idx:
+                    mels.append(np.asarray(stack[int(i)]).T)  # [T, n_mels]
+                    labels.append(int(c))
+            yield dict(mels=np.stack(mels).astype(np.float32),
+                       labels=np.asarray(labels, np.int32), N=N, M=M)
+
+
 def disc_train(cfg: Config, input_path: str, base_dir: str, *,
                kind: str = "emt", train_steps: int = 10000,
                n_per_class: int = 8, loss_type: str = "softmax",
                learning_rate: float = 1e-3,
-               checkpoint_interval: int = 1000):
-    """Train an emt/spk discriminator; checkpoints under disc_<kind>/."""
-    feeder = DiscFeeder(cfg, input_path, kind=kind)
+               checkpoint_interval: int = 1000,
+               remove_long_samps: bool = False,
+               stacks_dir: Optional[str] = None):
+    """Train an emt/spk/accent discriminator; checkpoints under disc_<kind>/.
+
+    `stacks_dir` switches the input from train.txt metadata to TI-SV
+    per-speaker stacks (reference spk_disc/main.py path via utils.py
+    random_batch_old).
+    """
+    if stacks_dir is not None:
+        feeder = DiscStackFeeder(stacks_dir)
+    else:
+        if not input_path:
+            raise ValueError("disc_train needs --input-path (train.txt) "
+                             "or --stacks-dir")
+        feeder = DiscFeeder(cfg, input_path, kind=kind,
+                            remove_long_samps=remove_long_samps)
     use_ce = loss_type == "ce"
     model = DiscriminatorModel(config=cfg, output_classes=feeder.n_classes,
                                discriminator=use_ce)
@@ -154,8 +232,9 @@ def disc_test(cfg: Config, ckpt_dir: str, map_path: str, out_dir: str, *,
     with open(map_path, encoding="utf-8") as f:
         rows = [line.strip().split("|") for line in f if line.strip()]
     data_dir = os.path.dirname(map_path)
-    label_col = (2 if kind == "emt" else 3) if rows and rows[0][0].endswith(
-        ".npy") else (8 if kind == "emt" else 9)
+    # "accent" reuses the emt column (the emt_label doubles as accent id)
+    label_col = (3 if kind == "spk" else 2) if rows and rows[0][0].endswith(
+        ".npy") else (9 if kind == "spk" else 8)
 
     def mel_path(r):
         if r[0].endswith(".npy"):

@@ -155,6 +155,117 @@ def test_disc_trainer_smoke(tmp_path):
     assert os.path.isdir(ckpt_dir)
 
 
+def test_machine_config_overrides(tmp_path, monkeypatch):
+    """Hostname-keyed machine overrides (reference train.py:170-180) plus
+    TACO_HPARAMS env layer, applied before explicit --hparams overrides."""
+    import json
+    import socket
+    from tacotron2_tpu.config import get_config
+    path = tmp_path / "machines.json"
+    path.write_text(json.dumps({
+        socket.gethostname(): "train.tacotron_batch_size=7,audio.num_mels=21",
+        "*": "train.tacotron_batch_size=3",
+    }))
+    monkeypatch.setenv("TACO_MACHINES", str(path))
+    cfg = get_config("default")
+    assert cfg.train.tacotron_batch_size == 7 and cfg.audio.num_mels == 21
+    # explicit overrides win over the machine layer
+    cfg = get_config("default", "train.tacotron_batch_size=9")
+    assert cfg.train.tacotron_batch_size == 9 and cfg.audio.num_mels == 21
+    # unknown hostname falls back to "*"
+    path.write_text(json.dumps({"not-this-host": "audio.num_mels=5",
+                                "*": "audio.num_mels=33"}))
+    assert get_config("default").audio.num_mels == 33
+    # TACO_HPARAMS layers on top of the machine entry
+    monkeypatch.setenv("TACO_HPARAMS", "audio.num_mels=44")
+    assert get_config("default").audio.num_mels == 44
+
+
+def test_split_silence():
+    """VAD twin of librosa.effects.split: tone bursts between silences."""
+    from tacotron2_tpu.data import audio
+    rng = np.random.default_rng(0)
+    sr = 16000
+    silence = np.zeros(4000, np.float32)
+    burst = (0.5 * np.sin(2 * np.pi * 300 / sr * np.arange(6000))
+             ).astype(np.float32)
+    wav = np.concatenate([silence, burst, silence, burst, silence])
+    iv = audio.split_silence(wav, top_db=20)
+    assert iv.shape == (2, 2)
+    # intervals cover the bursts; centered RMS frames see a burst up to
+    # frame_length/2 early/late (librosa.effects.split has the same slack)
+    slack = 2048 // 2 + 512
+    assert iv[0][0] <= 4000 and abs(iv[0][0] - 4000) <= slack
+    assert iv[0][1] >= 10000 - 512 and abs(iv[0][1] - 10000) <= slack
+    assert iv[1][0] <= 14000 and abs(iv[1][0] - 14000) <= slack
+    assert iv[1][1] >= 20000 - 512 and abs(iv[1][1] - 20000) <= slack
+    assert audio.split_silence(np.zeros(100, np.float32)).shape == (0, 2)
+    noise = rng.normal(0, 0.1, 8000).astype(np.float32)
+    assert len(audio.split_silence(noise, top_db=60)) >= 1
+
+
+def test_tisv_stacks_and_stack_feeder(tmp_path):
+    """disc-preprocess -> speaker stacks -> GE2E stack feeder -> train
+    (reference spk_disc/data_preprocess.py + utils.py random_batch_old)."""
+    from tacotron2_tpu.data import audio
+    from tacotron2_tpu.disc.data_preprocess import build_speaker_stacks
+    from tacotron2_tpu.disc.train import DiscStackFeeder, disc_train
+    cfg = Config()
+    sr = cfg.audio.sample_rate
+    corpus = tmp_path / "voxlike"
+    rng = np.random.default_rng(0)
+    for s, f0 in enumerate([220, 330, 440]):
+        for u in range(2):
+            tone = 0.5 * np.sin(2 * np.pi * f0 / sr * np.arange(6000))
+            tone = tone * (1 + 0.1 * rng.normal(0, 1, 6000))
+            wav = np.concatenate([np.zeros(2000), tone, np.zeros(2000)])
+            os.makedirs(corpus / f"spk{s}" / "sess", exist_ok=True)
+            audio.save_wav(wav.astype(np.float32),
+                           str(corpus / f"spk{s}" / "sess" / f"u{u}.wav"), sr)
+    out = build_speaker_stacks(str(corpus), str(tmp_path / "tisv"), cfg.audio,
+                               n_mels=8, tisv_frame=12, test_fraction=0.34,
+                               n_jobs=1)
+    assert set(out) == {"train", "test"}
+    train_dir = out["train"]
+    stacks = sorted(p for p in os.listdir(train_dir) if p.endswith(".npy"))
+    assert stacks == ["speaker0.npy", "speaker1.npy"]
+    st = np.load(os.path.join(train_dir, "speaker0.npy"))
+    assert st.ndim == 3 and st.shape[1:] == (8, 12) and st.shape[0] >= 2
+    meta = open(os.path.join(train_dir, "metadata.csv")).read().splitlines()
+    assert meta[0] == "id,speaker_num,n_windows" and len(meta) == 3
+
+    feeder = DiscStackFeeder(train_dir)
+    assert feeder.n_classes == 2
+    b = next(feeder.batches(N=2, M=3))
+    assert b["mels"].shape == (6, 12, 8)
+    assert list(b["labels"]) == sorted(b["labels"])  # grouped by speaker
+
+    ckpt_dir, _ = disc_train(cfg, None, str(tmp_path / "run"), kind="spk",
+                             train_steps=3, n_per_class=2,
+                             loss_type="softmax", stacks_dir=train_dir)
+    assert os.path.isdir(ckpt_dir)
+
+
+def test_disc_feeder_accent_kind(tmp_path):
+    """'accent' discriminator: emt column as accent id, keep K largest
+    classes, remove_long_samps filter (spk_disc/utils.py:209-223,287-289)."""
+    from make_tiny_dataset import main as make_corpus
+    from tacotron2_tpu.disc.train import DiscFeeder
+    corpus = make_corpus(str(tmp_path / "c"), n=16)
+    cfg = tiny_config()
+    feeder = DiscFeeder(cfg, os.path.join(corpus, "train.txt"), kind="accent",
+                        crop_frames=16, keep_top_accents=2)
+    assert len(feeder.classes) == 2
+    all_rows = sum(len(v) for v in feeder.by_class.values())
+    full = DiscFeeder(cfg, os.path.join(corpus, "train.txt"), kind="emt",
+                      crop_frames=16)
+    sizes = sorted((len(v) for v in full.by_class.values()), reverse=True)
+    assert all_rows == sum(sizes[:2])  # kept exactly the 2 largest classes
+    b = next(feeder.batches(N=2, M=2))
+    assert b["mels"].shape == (4, 16, 80)
+    assert set(np.asarray(b["labels"])) <= set(feeder.classes)
+
+
 @pytest.mark.slow
 def test_cli_pipeline(tmp_path):
     """The CLI surface: preprocess → train Tacotron a few steps → eval synth."""
