@@ -3,12 +3,13 @@
 Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
 audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
 (ops/wavenet_kernel.py) at the reference's full model size (20 layers, 128
-residual channels, Gaussian head, 16 kHz), B=64 streams with the bf16
-delay-line cache (the VMEM-optimal production config; a bit-exact f32 run at
-B=32 is reported in detail). `vs_baseline` compares against the pure-XLA
-lax.scan sampler on the same chip — the best non-kernel TPU implementation
-(the reference's own tf.while_loop path has no published number; its GPU
-incremental synthesis is O(0.1x) realtime).
+residual channels, Gaussian head, 16 kHz), B=128 streams with bf16 delay-line
+cache/weights and dilations >64 resident in HBM behind windowed prefetch (the
+production config; a bit-exact all-VMEM f32 run at B=32 is reported in
+detail). `vs_baseline` compares against the pure-XLA lax.scan sampler on the
+same chip — the best non-kernel TPU implementation (the reference's own
+tf.while_loop path has no published number; its GPU incremental synthesis is
+O(0.1x) realtime).
 
 Details include the Griffin-Lim inversion path (BASELINE config[0]) and
 single-stream realtime factor.
@@ -33,10 +34,12 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def bench_vocoder(cfg, B=64, seconds=1.0, chunk=512, B_exact=32):
-    """Headline: B=64 streams with the bf16 delay-line cache (production
-    config, quantization bounded by the kernel parity test). Detail includes
-    the bit-exact f32-cache config at B_exact."""
+def bench_vocoder(cfg, B=128, seconds=1.0, chunk=512, B_exact=32,
+                  hbm_delay_threshold=64):
+    """Headline: B=128 streams, bf16 delay-line cache/weights, dilations
+    >64 resident in HBM with windowed prefetch (build_sampler_kernel_hbm) —
+    the production config; quantization bounded by the kernel parity tests.
+    Detail includes the bit-exact all-VMEM f32-cache config at B_exact."""
     import jax
     import jax.numpy as jnp
 
@@ -54,12 +57,13 @@ def bench_vocoder(cfg, B=64, seconds=1.0, chunk=512, B_exact=32):
         jnp.zeros((B, chunk, 1)), None, train=False)
     sp = extract_sampler_params(variables["params"], cfg)
 
-    def time_config(batch, cache_dtype):
+    def time_config(batch, cache_dtype, threshold=None):
         c_up = jnp.asarray(rng.uniform(0, 1, (batch, T, cfg.wavenet.cin_channels)),
                            jnp.float32)
         run = build_sampler_kernel(cfg, batch, T, chunk=chunk,
                                    cache_dtype=cache_dtype,
-                                   weight_dtype=cache_dtype)
+                                   weight_dtype=cache_dtype,
+                                   hbm_delay_threshold=threshold)
         np.asarray(run(sp, c_up, 7))  # compile
         iters = 3
         t0 = time.perf_counter()
@@ -67,7 +71,7 @@ def bench_vocoder(cfg, B=64, seconds=1.0, chunk=512, B_exact=32):
             np.asarray(run(sp, c_up, 8 + i))
         return (time.perf_counter() - t0) / iters
 
-    fused_dt = time_config(B, jnp.bfloat16)
+    fused_dt = time_config(B, jnp.bfloat16, hbm_delay_threshold)
     exact_dt = time_config(B_exact, jnp.float32)
 
     # XLA scan baseline: its 20-layer scan body takes ~5 min to XLA-compile on
@@ -138,7 +142,7 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler "
-                     "(bf16 delay cache)",
+                     "(bf16 cache+weights, HBM-resident large dilations)",
             "us_per_step": round(voc["fused_us_per_step"], 2),
             "realtime_factor_per_stream": round(
                 voc["realtime_factor_per_stream"], 2),

@@ -183,6 +183,10 @@ class WaveNetConfig:
     # fused-sampler weight storage: 'bfloat16' engages the MXU's native bf16
     # rate (drift-bounded by tests); 'float32' is bit-exact
     sampler_weight_dtype: str = "float32"
+    # keep delay lines of dilations above this threshold in HBM with windowed
+    # prefetch (build_sampler_kernel_hbm) — frees ~88% of the VMEM cache and
+    # unlocks synthesis batch 128/chip; 0/None disables (all-VMEM kernel)
+    sampler_hbm_delay_threshold: int = 0
     legacy: bool = True            # sqrt(0.5) skip scaling
     residual_legacy: bool = True   # sqrt(0.5) residual scaling
 

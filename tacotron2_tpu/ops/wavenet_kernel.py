@@ -56,7 +56,8 @@ def _uniform_from_bits(bits):
 def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                          interpret: bool = False,
                          cache_dtype=jnp.float32,
-                         weight_dtype=jnp.float32):
+                         weight_dtype=jnp.float32,
+                         hbm_delay_threshold: int | None = None):
     """Compile a fused sampler for fixed (batch B, length T) buckets.
 
     Returns fn(params_tuple, c_up [B,T,C], seed int32) → samples [B, T].
@@ -70,7 +71,18 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
     bf16 and feeds the MXU bf16×bf16 (f32 accumulation) — both halves weight
     VMEM and engages the MXU's native bf16 rate. Residual/skip accumulators
     and biases stay f32.
+
+    hbm_delay_threshold keeps the delay lines of layers with dilation above
+    the threshold in HBM instead of VMEM (see build_sampler_kernel_hbm) —
+    for the default 20L/512-max-dilation net, threshold 64 moves 88% of the
+    cache off-chip and unlocks B=128 (a full MXU of batch rows).
     """
+    if hbm_delay_threshold is not None and any(
+            d > hbm_delay_threshold for d in cfg.wavenet.dilations):
+        return build_sampler_kernel_hbm(cfg, B, T, chunk, interpret=interpret,
+                                        cache_dtype=cache_dtype,
+                                        weight_dtype=weight_dtype,
+                                        threshold=hbm_delay_threshold)
     wn = cfg.wavenet
     assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
         "fused kernel supports the scalar-input Gaussian head; use the XLA " \
@@ -89,12 +101,12 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
     log_scale_min = np.float32(wn.log_scale_min_gauss)
 
     def kernel(seed_ref, cup_hbm,                      # inputs
-               conv_w, conv_b, cin_w, cin_b, skip_w, skip_b,
-               out_w, out_b, first_w, first_b, f1_w, f1_b, f2_w, f2_b,
+               czw, czb, sow, sob,
+               first_w, first_b, f1_w, f1_b, f2_w, f2_b,
                samples_out,                            # output [T, B]
-               buf, cbuf, xprev, sem):                 # scratch
+               buf, cbuf, xprev, zmat, sem):           # scratch
         pltpu.prng_seed(seed_ref[0])
-        buf[:] = jnp.zeros((dtot, B, 2 * R), cache_dtype)
+        buf[:] = jnp.zeros((2 * dtot, B, R), cache_dtype)
         xprev[:] = jnp.zeros((B, 128), jnp.float32)
 
         def chunk_body(ci, _):
@@ -102,35 +114,48 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
             dma = pltpu.make_async_copy(
                 cup_hbm.at[pl.ds(ci * chunk, chunk)], cbuf, sem)
             dma.start()
+            # amortize PRNG + Box-Muller over the chunk: one [B, chunk]
+            # normal matrix, sliced per step (per-step transcendentals on
+            # (2, B, 128) tiles cost more than the sample matmuls)
+            bits = pltpu.prng_random_bits((2, chunk, B))
+            u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+            zmat[:] = (jnp.sqrt(-2.0 * jnp.log(u[0])) *
+                       jnp.cos(2.0 * math.pi * u[1]))
             dma.wait()
 
             def step_body(i, _):
                 t = ci * chunk + i
                 ct = cbuf[i].astype(weight_dtype)              # [B, C]
-                x_in = xprev[:, :1]                            # [B, 1]
-                x = jnp.dot(x_in, first_w[:],
-                            preferred_element_type=jnp.float32) + first_b[:]
+                # first "conv" is scalar-input: an outer product on the VPU
+                x = xprev[:, :1] * first_w[:] + first_b[:]     # [B, R]
 
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
-                    idx = offs[l] + jax.lax.rem(t, dilations[l])
-                    old = buf[idx]                             # [B, 2R]
-                    taps = jnp.concatenate(
-                        [old[:, R:], old[:, :R],
-                         x.astype(cache_dtype)], axis=-1)      # [B, 3R]
-                    buf[idx] = jnp.concatenate(
-                        [x.astype(cache_dtype), old[:, :R]], axis=-1)
-                    z = jnp.dot(taps.astype(weight_dtype), conv_w[l],
-                                preferred_element_type=jnp.float32) + conv_b[l]
-                    z = z + jnp.dot(ct, cin_w[l],
-                                    preferred_element_type=jnp.float32) + cin_b[l]
+                    d2 = 2 * dilations[l]
+                    base = 2 * offs[l]
+                    # ring of 2d single-activation rows: each x stored ONCE
+                    # (no write concat, no tap shuffle); the x_{t-2d} slot is
+                    # read just before being overwritten with x_t
+                    i2 = jax.lax.rem(t, d2)
+                    r2 = buf[base + i2]                             # x_{t-2d}
+                    r1 = buf[base + jax.lax.rem(t + dilations[l], d2)]  # x_{t-d}
+                    buf[base + i2] = x.astype(cache_dtype)
+                    z = (jnp.dot(r2.astype(weight_dtype), czw[l, :R],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(r1.astype(weight_dtype), czw[l, R:2 * R],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(x.astype(weight_dtype), czw[l, 2 * R:3 * R],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(ct, czw[l, 3 * R:],
+                                   preferred_element_type=jnp.float32)
+                         + czb[l])
                     a, g = z[:, :G // 2], z[:, G // 2:]
                     h = jnp.tanh(a) * jax.nn.sigmoid(g)
                     hw = h.astype(weight_dtype)
-                    s = jnp.dot(hw, skip_w[l],
-                                preferred_element_type=jnp.float32) + skip_b[l]
-                    o = jnp.dot(hw, out_w[l],
-                                preferred_element_type=jnp.float32) + out_b[l]
+                    # one fused matmul: h @ [skip | out]
+                    so = jnp.dot(hw, sow[l],
+                                 preferred_element_type=jnp.float32) + sob[l]
+                    s, o = so[:, :S], so[:, S:]
                     if wn.residual_legacy:
                         x = (x + o) * legacy_scale
                     else:
@@ -150,10 +175,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                              preferred_element_type=jnp.float32) + f2_b[:]
                 mean, log_scale = yh[:, 0], jnp.maximum(yh[:, 1], log_scale_min)
 
-                bits = pltpu.prng_random_bits((2, B, 128))
-                u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
-                z_norm = (jnp.sqrt(-2.0 * jnp.log(u[0, :, 0])) *
-                          jnp.cos(2.0 * math.pi * u[1, :, 0]))
+                z_norm = zmat[i]
                 sample = jnp.clip(mean + jnp.exp(log_scale) * z_norm, -1.0, 1.0)
                 samples_out[t] = sample
                 xprev[:, 0] = sample
@@ -168,12 +190,13 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +       # cup in HBM
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,  # weights
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,  # weights
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dtot, B, 2 * R), cache_dtype),   # delay lines
+            pltpu.VMEM((2 * dtot, B, R), cache_dtype),   # delay-line rings
             pltpu.VMEM((chunk, B, C), jnp.float32),      # conditioning chunk
             pltpu.VMEM((B, 128), jnp.float32),           # previous sample
+            pltpu.VMEM((chunk, B), jnp.float32),         # chunk normals
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -202,9 +225,284 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
     return run
 
 
+def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
+                             interpret: bool = False,
+                             cache_dtype=jnp.float32,
+                             weight_dtype=jnp.float32,
+                             threshold: int = 64,
+                             window: int = 16):
+    """Fused sampler with large-dilation delay lines resident in HBM.
+
+    The pure-VMEM kernel's batch ceiling is the delay-line buffer
+    (sum(dilations)·B·2R): for the default net, dilations {128, 256, 512}
+    hold 88% of the slots but each layer touches exactly ONE row ([B, 2R])
+    per step, at slot (t mod d) — sequential in t. Because the window size W
+    divides every resident dilation, the W rows a layer needs over W
+    consecutive steps are CONTIGUOUS in the delay buffer and never wrap, so
+    the kernel streams them in window-sized super-rows:
+
+    - per window of W steps, each big layer gets ONE prefetch DMA into a
+      double-buffered VMEM landing pad (issued a window ahead, fully hidden
+      behind compute) and ONE write-back flush from a staging pad — ~12 DMAs
+      per W steps instead of per step (per-step DMA wait overhead was
+      measured to double the step time at B=128);
+    - flush(w) is waited at window w+2; a prefetch at window w covers rows
+      written in window w+1-d/W ≤ w-3, so with d/W ≥ 4 every read sees
+      retired data — races are structurally impossible.
+
+    Per-step HBM traffic at B=128 is 6 rows × 64 KB × 2 directions ≈ 0.8 MB
+    (~1 µs of HBM bandwidth), while VMEM drops from ~134 MB (impossible) to
+    ~75 MB — trading free bandwidth for the scarce resource.
+
+    Reference behavior fused: wavenet.py:724-911 + modules.py:270-333, as in
+    build_sampler_kernel.
+    """
+    wn = cfg.wavenet
+    assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
+        "fused kernel supports the scalar-input Gaussian head"
+    assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
+    L, R, G = wn.layers, wn.residual_channels, wn.gate_channels
+    S = wn.skip_out_channels
+    C = ((wn.cin_channels + 127) // 128) * 128
+    assert wn.kernel_size == 3, "delay-line layout assumes kernel_size=3"
+    dilations = tuple(int(d) for d in wn.dilations)
+    small = [l for l in range(L) if dilations[l] <= threshold]
+    big = [l for l in range(L) if dilations[l] > threshold]
+    assert big, "no dilation above threshold; use build_sampler_kernel"
+    W = window
+    while W > 1 and any(dilations[l] % W or dilations[l] // W < 4
+                        for l in big):
+        W //= 2  # shrink until W divides every big dilation with d/W >= 4
+    assert W >= 1 and chunk % W == 0, (W, chunk)
+    assert all(dilations[l] % W == 0 and dilations[l] // W >= 4 for l in big), \
+        "hbm_delay_threshold leaves a dilation too small for safe windowing"
+    hidx = {l: j for j, l in enumerate(big)}
+    offs_v = np.concatenate(
+        [[0], np.cumsum([dilations[l] for l in small])]).astype(np.int32)
+    voff = {l: int(offs_v[i]) for i, l in enumerate(small)}
+    offs_h = np.concatenate(
+        [[0], np.cumsum([dilations[l] for l in big])]).astype(np.int32)
+    hoff = {l: int(offs_h[hidx[l]]) for l in big}
+    dtot_v, dtot_h = int(offs_v[-1]), int(offs_h[-1])
+    n_h = len(big)
+    ZBLK = max(z for z in range(1, 65) if dtot_h % z == 0)
+    legacy_scale = np.float32(np.sqrt(0.5))
+    n_chunks = T // chunk
+    wins_per_chunk = chunk // W
+    n_windows = T // W
+    log_scale_min = np.float32(wn.log_scale_min_gauss)
+
+    def kernel(seed_ref, cup_hbm,                      # inputs
+               czw, czb, sow, sob,
+               first_w, first_b, f1_w, f1_b, f2_w, f2_b,
+               samples_hbm, hbuf,                      # outputs (ANY)
+               vbuf, cbuf, xprev, sbuf, pf, st, zblk, zmat,  # scratch
+               csem, ssem, zsem, rsem, wsem):
+        pltpu.prng_seed(seed_ref[0])
+        vbuf[:] = jnp.zeros((dtot_v, B, 2 * R), cache_dtype)
+        xprev[:] = jnp.zeros((B, 128), jnp.float32)
+
+        # zero the HBM delay lines (block copies of a zeroed VMEM tile)
+        zblk[:] = jnp.zeros((ZBLK, B, 2 * R), cache_dtype)
+        for blk in range(dtot_h // ZBLK):
+            pltpu.make_async_copy(
+                zblk, hbuf.at[pl.ds(blk * ZBLK, ZBLK)], zsem).start()
+        for blk in range(dtot_h // ZBLK):
+            pltpu.make_async_copy(
+                zblk, hbuf.at[pl.ds(blk * ZBLK, ZBLK)], zsem).wait()
+
+        def read_dma(l, t0, slot):
+            """hbuf rows [t0 mod d, +W) → landing pad pf[slot, hidx[l]]."""
+            row = hoff[l] + jax.lax.rem(t0, dilations[l])
+            return pltpu.make_async_copy(
+                hbuf.at[pl.ds(row, W)],
+                pf.at[slot, hidx[l]],
+                rsem.at[slot, hidx[l]])
+
+        def write_dma(l, t0, slot):
+            """staging st[slot, hidx[l]] → hbuf rows [t0 mod d, +W)."""
+            row = hoff[l] + jax.lax.rem(t0, dilations[l])
+            return pltpu.make_async_copy(
+                st.at[slot, hidx[l]],
+                hbuf.at[pl.ds(row, W)],
+                wsem.at[slot, hidx[l]])
+
+        # warm-up: prefetch window 0 (all zeros, but keeps the loop uniform)
+        for l in big:
+            read_dma(l, 0, 0).start()
+
+        def window_body(w, _):
+            t0 = w * W
+            wslot = jax.lax.rem(w, 2)
+            nslot = jax.lax.rem(w + 1, 2)
+            # retire this parity slot's flush from window w-2 before reusing
+            # the staging pad, then prefetch window w+1 into the other pad
+            for l in big:
+                @pl.when(w >= 2)
+                def _(l=l, t0=t0, wslot=wslot):
+                    write_dma(l, t0 - 2 * W, wslot).wait()
+
+                @pl.when(w + 1 < n_windows)
+                def _(l=l, t0=t0, nslot=nslot):
+                    read_dma(l, t0 + W, nslot).start()
+                read_dma(l, t0, wslot).wait()
+
+            def step_body(i, _):
+                t = t0 + i
+                ci = t // chunk  # only used for the cbuf-relative index
+                ct = cbuf[t - ci * chunk].astype(weight_dtype)  # [B, C]
+                # first "conv" is scalar-input: an outer product on the VPU
+                x = xprev[:, :1] * first_w[:] + first_b[:]      # [B, R]
+
+                skips = jnp.zeros((B, S), jnp.float32)
+                for l in range(L):
+                    xc = x.astype(cache_dtype)
+                    # rows stored tap-ordered: (x_{t-2d}, x_{t-d}) — the
+                    # read needs no lane shuffle, only the write does
+                    if l in hidx:
+                        j = hidx[l]
+                        old = pf[wslot, j, i]                  # [B, 2R]
+                        st[wslot, j, i] = jnp.concatenate(
+                            [old[:, R:], xc], axis=-1)
+                    else:
+                        idx = voff[l] + jax.lax.rem(t, dilations[l])
+                        old = vbuf[idx]                        # [B, 2R]
+                        vbuf[idx] = jnp.concatenate(
+                            [old[:, R:], xc], axis=-1)
+                    r2 = old[:, :R].astype(weight_dtype)       # x_{t-2d}
+                    r1 = old[:, R:].astype(weight_dtype)       # x_{t-d}
+                    z = (jnp.dot(r2, czw[l, :R],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(r1, czw[l, R:2 * R],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(x.astype(weight_dtype), czw[l, 2 * R:3 * R],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(ct, czw[l, 3 * R:],
+                                   preferred_element_type=jnp.float32)
+                         + czb[l])
+                    a, g = z[:, :G // 2], z[:, G // 2:]
+                    h = jnp.tanh(a) * jax.nn.sigmoid(g)
+                    hw = h.astype(weight_dtype)
+                    # one fused matmul: h @ [skip | out]
+                    so = jnp.dot(hw, sow[l],
+                                 preferred_element_type=jnp.float32) + sob[l]
+                    s, o = so[:, :S], so[:, S:]
+                    if wn.residual_legacy:
+                        x = (x + o) * legacy_scale
+                    else:
+                        x = x + o
+                    if l == 0:
+                        skips = s
+                    elif wn.legacy:
+                        skips = (skips + s) * legacy_scale
+                    else:
+                        skips = skips + s
+
+                y = jnp.maximum(skips, 0.0)
+                y = jnp.maximum(
+                    jnp.dot(y, f1_w[:], preferred_element_type=jnp.float32)
+                    + f1_b[:], 0.0)
+                yh = jnp.dot(y, f2_w[:],
+                             preferred_element_type=jnp.float32) + f2_b[:]
+                mean, log_scale = yh[:, 0], jnp.maximum(yh[:, 1], log_scale_min)
+
+                z_norm = zmat[t - ci * chunk]
+                sample = jnp.clip(mean + jnp.exp(log_scale) * z_norm, -1.0, 1.0)
+                sbuf[t - ci * chunk] = sample
+                xprev[:, 0] = sample
+                return 0
+
+            jax.lax.fori_loop(0, W, step_body, 0)
+            # flush this window's new rows back to HBM (waited at w+2)
+            for l in big:
+                write_dma(l, t0, wslot).start()
+            return 0
+
+        def chunk_body(ci, _):
+            dma = pltpu.make_async_copy(
+                cup_hbm.at[pl.ds(ci * chunk, chunk)], cbuf, csem)
+            dma.start()
+            # amortize PRNG + Box-Muller over the chunk: one [B, chunk]
+            # normal matrix, sliced per step
+            bits = pltpu.prng_random_bits((2, chunk, B))
+            u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+            zmat[:] = (jnp.sqrt(-2.0 * jnp.log(u[0])) *
+                       jnp.cos(2.0 * math.pi * u[1]))
+            dma.wait()
+            jax.lax.fori_loop(ci * wins_per_chunk, (ci + 1) * wins_per_chunk,
+                              window_body, 0)
+            out = pltpu.make_async_copy(
+                sbuf, samples_hbm.at[pl.ds(ci * chunk, chunk)], ssem)
+            out.start()
+            out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # drain the final two windows' flushes (static indices: T is fixed)
+        for back in (2, 1):
+            if n_windows - back >= 0:
+                t0 = (n_windows - back) * W
+                for l in big:
+                    write_dma(l, t0, (n_windows - back) % 2).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +       # cup in HBM
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,  # weights
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # samples
+                   pl.BlockSpec(memory_space=pltpu.ANY)],       # HBM cache
+        scratch_shapes=[
+            pltpu.VMEM((dtot_v, B, 2 * R), cache_dtype),  # small delay lines
+            pltpu.VMEM((chunk, B, C), weight_dtype),      # conditioning chunk
+            pltpu.VMEM((B, 128), jnp.float32),            # previous sample
+            pltpu.VMEM((chunk, B), jnp.float32),          # sample staging
+            pltpu.VMEM((2, n_h, W, B, 2 * R), cache_dtype),  # landing pads
+            pltpu.VMEM((2, n_h, W, B, 2 * R), cache_dtype),  # write staging
+            pltpu.VMEM((ZBLK, B, 2 * R), cache_dtype),    # zero tile
+            pltpu.VMEM((chunk, B), jnp.float32),          # chunk normals
+            pltpu.SemaphoreType.DMA,                      # conditioning
+            pltpu.SemaphoreType.DMA,                      # samples out
+            pltpu.SemaphoreType.DMA,                      # zero-init
+            pltpu.SemaphoreType.DMA((2, n_h)),            # reads
+            pltpu.SemaphoreType.DMA((2, n_h)),            # writes
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32),
+                   jax.ShapeDtypeStruct((dtot_h, B, 2 * R), cache_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+
+    @jax.jit
+    def run(weights: SamplerParams, c_up, seed):
+        cup_tm = jnp.swapaxes(c_up, 0, 1)
+        if cup_tm.shape[-1] != C:
+            cup_tm = jnp.pad(cup_tm,
+                             ((0, 0), (0, 0), (0, C - cup_tm.shape[-1])))
+        cup_tm = cup_tm.astype(weight_dtype)
+        lw = _stack_weights(weights, cfg, cin_pad=C,
+                            weight_dtype=weight_dtype)
+        samples, _ = call(jnp.asarray([seed], jnp.int32), cup_tm, *lw)
+        return jnp.swapaxes(samples, 0, 1)    # [B, T]
+
+    return run
+
+
 def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None,
                    weight_dtype=jnp.float32):
-    """SamplerParams → stacked [L, ...] arrays the kernel indexes statically."""
+    """SamplerParams → stacked, matmul-fused [L, ...] kernel weights.
+
+    Two MXU-economy fusions (halve the per-layer matmul count):
+    - czw [L, 3R+C, G] = vstack(tap weights, cin_w) with czb = conv_b +
+      cin_b, consumed as per-tap row matmuls against static slices;
+    - sow [L, G/2, S+R] = hstack(skip_w, out_w), consumed as `h @ sow`.
+    """
     wn = cfg.wavenet
     cin_pad = cin_pad or wn.cin_channels
     z = lambda *s: jnp.zeros(s, jnp.float32)
@@ -226,11 +524,11 @@ def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None,
     fb = sp.first_b if sp.first_b is not None else z(wn.residual_channels)
     f1b = sp.final1_b if sp.final1_b is not None else z(wn.skip_out_channels)
     f2b = sp.final2_b if sp.final2_b is not None else z(wn.out_channels)
-    conv_w = conv_w.astype(weight_dtype)
-    cin_w = cin_w.astype(weight_dtype)
-    skip_w = skip_w.astype(weight_dtype)
-    out_w = out_w.astype(weight_dtype)
-    return (conv_w, conv_b, cin_w, cin_b, skip_w, skip_b, out_w, out_b,
+    czw = jnp.concatenate([conv_w, cin_w], axis=1).astype(weight_dtype)
+    czb = conv_b + cin_b
+    sow = jnp.concatenate([skip_w, out_w], axis=2).astype(weight_dtype)
+    sob = jnp.concatenate([skip_b, out_b], axis=1)
+    return (czw, czb, sow, sob,
             sp.first_w, fb, sp.final1_w, f1b, sp.final2_w, f2b)
 
 
@@ -280,7 +578,8 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
 def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
                              chunk: int = 512, interpret: bool = False,
                              cache_dtype=jnp.float32,
-                             weight_dtype=jnp.float32):
+                             weight_dtype=jnp.float32,
+                             hbm_delay_threshold: int | None = None):
     """Drop-in fast path for sampler.incremental_sample (Gaussian head).
 
     c_up: [B, T, C]; T is padded to a chunk multiple internally and trimmed.
@@ -293,6 +592,7 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
         c_up = jnp.pad(c_up, ((0, 0), (0, T_pad - T), (0, 0)))
     run = build_sampler_kernel(cfg, B, T_pad, chunk, interpret=interpret,
                                cache_dtype=cache_dtype,
-                               weight_dtype=weight_dtype)
+                               weight_dtype=weight_dtype,
+                               hbm_delay_threshold=hbm_delay_threshold)
     samples = run(sp, c_up, seed)
     return samples[:, :T]

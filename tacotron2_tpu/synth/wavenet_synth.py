@@ -78,9 +78,11 @@ class WaveNetSynthesizer:
             weight_dtype = (jnp.bfloat16
                             if self.cfg.wavenet.sampler_weight_dtype == "bfloat16"
                             else jnp.float32)
+            thresh = self.cfg.wavenet.sampler_hbm_delay_threshold or None
             samples = np.asarray(fused_incremental_sample(
                 self.params, self.cfg, c_up, self._seed_counter,
-                cache_dtype=cache_dtype, weight_dtype=weight_dtype))
+                cache_dtype=cache_dtype, weight_dtype=weight_dtype,
+                hbm_delay_threshold=thresh))
         else:
             self._key, sk = jax.random.split(self._key)
             samples, _ = self._sample(self.params, c_up, sk)

@@ -82,6 +82,47 @@ def test_fused_sampler_bf16_cache_close():
     assert err < 0.05, f"bf16 cache drifted too far: max err {err}"
 
 
+def test_fused_sampler_hbm_delay_matches_vmem():
+    """HBM-resident large-dilation delay lines: bit-identical to the pure
+    VMEM kernel (same op order; only the cache residency changes)."""
+    cfg, params, c_up = _setup(layers=6)   # dilations 1,2,4 x 2 stacks
+    s_vmem = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                      interpret=True)
+    s_hbm = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                     interpret=True, hbm_delay_threshold=2)
+    np.testing.assert_array_equal(np.asarray(s_hbm), np.asarray(s_vmem))
+    # and against the XLA scan reference
+    s_ref, _ = incremental_sample(params, cfg, c_up, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(s_hbm), np.asarray(s_ref),
+                               atol=2e-4, rtol=1e-3)
+    # bf16 cache + weights through the HBM path stays close
+    s_bf16 = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                      interpret=True, hbm_delay_threshold=2,
+                                      cache_dtype=jnp.bfloat16,
+                                      weight_dtype=jnp.bfloat16)
+    err = np.max(np.abs(np.asarray(s_vmem) - np.asarray(s_bf16)))
+    assert err < 0.1, f"bf16 HBM-path drifted too far: max err {err}"
+
+
+def test_fused_sampler_hbm_windowed_matches_vmem():
+    """Multi-row prefetch windows (W>1): dilations 1..16, threshold 8 keeps
+    d=16 in HBM with W=4 windows; parity must still be exact."""
+    cfg, params, c_up = _setup(layers=10, frames=24)  # dil 1,2,4,8,16 x 2
+    s_vmem = fused_incremental_sample(params, cfg, c_up, seed=5, chunk=16,
+                                      interpret=True)
+    s_hbm = fused_incremental_sample(params, cfg, c_up, seed=5, chunk=16,
+                                     interpret=True, hbm_delay_threshold=8)
+    np.testing.assert_array_equal(np.asarray(s_hbm), np.asarray(s_vmem))
+
+
+def test_fused_sampler_hbm_threshold_guard():
+    """Dilations 1/2 must stay in VMEM (write-back retire window)."""
+    cfg, params, c_up = _setup(layers=4)   # dilations 1,2 x 2 stacks
+    with pytest.raises(AssertionError, match="windowing"):
+        fused_incremental_sample(params, cfg, c_up, seed=0, chunk=16,
+                                 interpret=True, hbm_delay_threshold=1)
+
+
 def test_fused_griffin_lim():
     """Fused single-kernel G-L vs the XLA path.
 
