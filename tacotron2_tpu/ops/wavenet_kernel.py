@@ -106,7 +106,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                samples_out,                            # output [T, B]
                buf, cbuf, xprev, zmat, sem):           # scratch
         pltpu.prng_seed(seed_ref[0])
-        buf[:] = jnp.zeros((2 * dtot, B, R), cache_dtype)
+        buf[:] = jnp.zeros((dtot, B, 2 * R), cache_dtype)
         xprev[:] = jnp.zeros((B, 128), jnp.float32)
 
         def chunk_body(ci, _):
@@ -131,19 +131,14 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
 
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
-                    d2 = 2 * dilations[l]
-                    base = 2 * offs[l]
-                    # ring of 2d single-activation rows: each x stored ONCE
-                    # (no write concat, no tap shuffle); the x_{t-2d} slot is
-                    # read just before being overwritten with x_t
-                    i2 = jax.lax.rem(t, d2)
-                    r2 = buf[base + i2]                             # x_{t-2d}
-                    r1 = buf[base + jax.lax.rem(t + dilations[l], d2)]  # x_{t-d}
-                    buf[base + i2] = x.astype(cache_dtype)
-                    z = (jnp.dot(r2.astype(weight_dtype), czw[l, :R],
+                    idx = offs[l] + jax.lax.rem(t, dilations[l])
+                    # rows stored tap-ordered (x_{t-2d}, x_{t-d}): both taps
+                    # feed ONE [B,2R]@[2R,G] matmul (halves tap weight loads)
+                    old = buf[idx]                             # [B, 2R]
+                    buf[idx] = jnp.concatenate(
+                        [old[:, R:], x.astype(cache_dtype)], axis=-1)
+                    z = (jnp.dot(old.astype(weight_dtype), czw[l, :2 * R],
                                  preferred_element_type=jnp.float32)
-                         + jnp.dot(r1.astype(weight_dtype), czw[l, R:2 * R],
-                                   preferred_element_type=jnp.float32)
                          + jnp.dot(x.astype(weight_dtype), czw[l, 2 * R:3 * R],
                                    preferred_element_type=jnp.float32)
                          + jnp.dot(ct, czw[l, 3 * R:],
@@ -193,7 +188,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,  # weights
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * dtot, B, R), cache_dtype),   # delay-line rings
+            pltpu.VMEM((dtot, B, 2 * R), cache_dtype),   # delay lines
             pltpu.VMEM((chunk, B, C), jnp.float32),      # conditioning chunk
             pltpu.VMEM((B, 128), jnp.float32),           # previous sample
             pltpu.VMEM((chunk, B), jnp.float32),         # chunk normals
@@ -369,12 +364,8 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
                         old = vbuf[idx]                        # [B, 2R]
                         vbuf[idx] = jnp.concatenate(
                             [old[:, R:], xc], axis=-1)
-                    r2 = old[:, :R].astype(weight_dtype)       # x_{t-2d}
-                    r1 = old[:, R:].astype(weight_dtype)       # x_{t-d}
-                    z = (jnp.dot(r2, czw[l, :R],
+                    z = (jnp.dot(old.astype(weight_dtype), czw[l, :2 * R],
                                  preferred_element_type=jnp.float32)
-                         + jnp.dot(r1, czw[l, R:2 * R],
-                                   preferred_element_type=jnp.float32)
                          + jnp.dot(x.astype(weight_dtype), czw[l, 2 * R:3 * R],
                                    preferred_element_type=jnp.float32)
                          + jnp.dot(ct, czw[l, 3 * R:],
@@ -534,7 +525,9 @@ def _stack_weights(sp: SamplerParams, cfg: Config, cin_pad: int = None,
 
 def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
                                chunk: int = 512, interpret: bool = False,
-                               cache_dtype=jnp.float32):
+                               cache_dtype=jnp.float32,
+                               weight_dtype=jnp.float32,
+                               hbm_delay_threshold: int | None = None):
     """Multi-chip synthesis: batch axis sharded over the mesh's 'data' axis.
 
     Each chip runs the full fused sampler on its local B/n_data streams —
@@ -558,7 +551,9 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
     if T_pad != T:
         c_up = jnp.pad(c_up, ((0, 0), (0, T_pad - T), (0, 0)))
     run = build_sampler_kernel(cfg, B // n_data, T_pad, chunk,
-                               interpret=interpret, cache_dtype=cache_dtype)
+                               interpret=interpret, cache_dtype=cache_dtype,
+                               weight_dtype=weight_dtype,
+                               hbm_delay_threshold=hbm_delay_threshold)
 
     def local(sp_local, c_local, seed_arr):
         return run(sp_local, c_local, seed_arr[0])
