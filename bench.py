@@ -3,13 +3,13 @@
 Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
 audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
 (ops/wavenet_kernel.py) at the reference's full model size (20 layers, 128
-residual channels, Gaussian head, 16 kHz), B=128 streams with bf16 delay-line
-cache/weights and dilations >64 resident in HBM behind windowed prefetch (the
-production config; a bit-exact all-VMEM f32 run at B=32 is reported in
-detail). `vs_baseline` compares against the pure-XLA lax.scan sampler on the
-same chip — the best non-kernel TPU implementation (the reference's own
-tf.while_loop path has no published number; its GPU incremental synthesis is
-O(0.1x) realtime).
+residual channels, Gaussian head, 16 kHz), B=384 streams with bf16 delay-line
+cache/weights and dilations >8 resident in HBM behind W=4 windowed prefetch
+(the measured-best config, scripts/bench_sampler_configs.py; a bit-exact
+all-VMEM f32 run at B=32 is reported in detail). `vs_baseline` compares
+against the pure-XLA lax.scan sampler on the same chip — the best non-kernel
+TPU implementation (the reference's own tf.while_loop path has no published
+number; its GPU incremental synthesis is O(0.1x) realtime).
 
 Details include the Griffin-Lim inversion path (BASELINE config[0]) and
 single-stream realtime factor.
@@ -34,12 +34,12 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def bench_vocoder(cfg, B=128, seconds=1.0, chunk=512, B_exact=32,
-                  hbm_delay_threshold=64):
-    """Headline: B=128 streams, bf16 delay-line cache/weights, dilations
-    >64 resident in HBM with windowed prefetch (build_sampler_kernel_hbm) —
-    the production config; quantization bounded by the kernel parity tests.
-    Detail includes the bit-exact all-VMEM f32-cache config at B_exact."""
+def bench_vocoder(cfg, B=384, seconds=1.0, chunk=256, B_exact=32,
+                  hbm_delay_threshold=8, window=4):
+    """Headline: B=384 streams, bf16 delay-line cache/weights, dilations
+    >8 resident in HBM with W=4 windowed prefetch (build_sampler_kernel_hbm)
+    — the measured-best config; quantization bounded by the kernel parity
+    tests. Detail includes the bit-exact all-VMEM f32 config at B_exact."""
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +63,8 @@ def bench_vocoder(cfg, B=128, seconds=1.0, chunk=512, B_exact=32,
         run = build_sampler_kernel(cfg, batch, T, chunk=chunk,
                                    cache_dtype=cache_dtype,
                                    weight_dtype=cache_dtype,
-                                   hbm_delay_threshold=threshold)
+                                   hbm_delay_threshold=threshold,
+                                   window=window)
         np.asarray(run(sp, c_up, 7))  # compile
         iters = 3
         t0 = time.perf_counter()
@@ -142,7 +143,8 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler "
-                     "(bf16 cache+weights, HBM-resident large dilations)",
+                     "(B=384, bf16 cache+weights, dilations >8 in HBM, "
+                     "W=4 prefetch windows)",
             "us_per_step": round(voc["fused_us_per_step"], 2),
             "realtime_factor_per_stream": round(
                 voc["realtime_factor_per_stream"], 2),

@@ -145,6 +145,11 @@ class TacotronConfig:
     decoder_layers: int = 2
     decoder_lstm_units: int = 1024
     max_iters: int = 1000
+    # rematerialize decoder-step activations in backward (jax.checkpoint):
+    # the TPU replacement for the reference's swap_memory CPU offload
+    # (hparams.py:262, tacotron.py:354) — enables long-utterance training
+    # batches that would otherwise exceed HBM
+    remat_decoder: bool = False
 
     postnet_num_layers: int = 5
     postnet_kernel_size: int = 5
@@ -187,6 +192,12 @@ class WaveNetConfig:
     # prefetch (build_sampler_kernel_hbm) — frees ~88% of the VMEM cache and
     # unlocks synthesis batch 128/chip; 0/None disables (all-VMEM kernel)
     sampler_hbm_delay_threshold: int = 0
+    # HBM prefetch window (rows per DMA); shrunk automatically until it
+    # divides every HBM-resident dilation with d/W >= 4. The measured best
+    # large-batch point is B=384, threshold 8, window 4, chunk 256
+    # (scripts/bench_sampler_configs.py)
+    sampler_window: int = 16
+    sampler_chunk: int = 512       # conditioning DMA chunk (samples)
     legacy: bool = True            # sqrt(0.5) skip scaling
     residual_legacy: bool = True   # sqrt(0.5) residual scaling
 

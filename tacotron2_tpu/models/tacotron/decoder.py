@@ -152,8 +152,17 @@ class DecoderCell(nn.Module):
             context_emt=z(batch, max(self.emt_context_size(), 1)))
 
 
-def _cell_scan(cell: DecoderCell, carry, xs_step_major, step_fn):
-    """nn.scan wrapper: params broadcast, fresh dropout/zoneout rngs per step."""
+def _cell_scan(cell: DecoderCell, carry, xs_step_major, step_fn,
+               remat: bool = False):
+    """nn.scan wrapper: params broadcast, fresh dropout/zoneout rngs per step.
+
+    remat=True wraps the step in nn.remat (rematerialize decoder-step
+    activations in the backward pass) — the TPU-native replacement for the
+    reference's `swap_memory=True` CPU offload (tacotron.py:354,
+    hparams.py:262): trade recompute FLOPs for HBM instead of PCIe swaps.
+    """
+    if remat:
+        step_fn = nn.remat(step_fn, prevent_cse=False)
     scan = nn.scan(step_fn,
                    variable_broadcast="params",
                    split_rngs={"params": False, "dropout": True, "zoneout": True,
@@ -207,7 +216,8 @@ class Decoder(nn.Module):
                         apply_stop_sigmoid=False)
 
         _, (frames, stops, aligns, aligns_emt) = _cell_scan(
-            self.cell, carry, (shifted, coins), step)
+            self.cell, carry, (shifted, coins), step,
+            remat=tc.remat_decoder)
         return self._assemble(frames, stops, aligns, aligns_emt, B)
 
     def autoregressive(self, batch: int, max_steps: int, keys, memory,

@@ -57,7 +57,8 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                          interpret: bool = False,
                          cache_dtype=jnp.float32,
                          weight_dtype=jnp.float32,
-                         hbm_delay_threshold: int | None = None):
+                         hbm_delay_threshold: int | None = None,
+                         window: int = 16):
     """Compile a fused sampler for fixed (batch B, length T) buckets.
 
     Returns fn(params_tuple, c_up [B,T,C], seed int32) → samples [B, T].
@@ -82,7 +83,8 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
         return build_sampler_kernel_hbm(cfg, B, T, chunk, interpret=interpret,
                                         cache_dtype=cache_dtype,
                                         weight_dtype=weight_dtype,
-                                        threshold=hbm_delay_threshold)
+                                        threshold=hbm_delay_threshold,
+                                        window=window)
     wn = cfg.wavenet
     assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
         "fused kernel supports the scalar-input Gaussian head; use the XLA " \
@@ -527,7 +529,8 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
                                chunk: int = 512, interpret: bool = False,
                                cache_dtype=jnp.float32,
                                weight_dtype=jnp.float32,
-                               hbm_delay_threshold: int | None = None):
+                               hbm_delay_threshold: int | None = None,
+                               window: int = 16):
     """Multi-chip synthesis: batch axis sharded over the mesh's 'data' axis.
 
     Each chip runs the full fused sampler on its local B/n_data streams —
@@ -553,7 +556,8 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
     run = build_sampler_kernel(cfg, B // n_data, T_pad, chunk,
                                interpret=interpret, cache_dtype=cache_dtype,
                                weight_dtype=weight_dtype,
-                               hbm_delay_threshold=hbm_delay_threshold)
+                               hbm_delay_threshold=hbm_delay_threshold,
+                               window=window)
 
     def local(sp_local, c_local, seed_arr):
         return run(sp_local, c_local, seed_arr[0])
@@ -574,7 +578,8 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
                              chunk: int = 512, interpret: bool = False,
                              cache_dtype=jnp.float32,
                              weight_dtype=jnp.float32,
-                             hbm_delay_threshold: int | None = None):
+                             hbm_delay_threshold: int | None = None,
+                             window: int = 16):
     """Drop-in fast path for sampler.incremental_sample (Gaussian head).
 
     c_up: [B, T, C]; T is padded to a chunk multiple internally and trimmed.
@@ -588,6 +593,7 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
     run = build_sampler_kernel(cfg, B, T_pad, chunk, interpret=interpret,
                                cache_dtype=cache_dtype,
                                weight_dtype=weight_dtype,
-                               hbm_delay_threshold=hbm_delay_threshold)
+                               hbm_delay_threshold=hbm_delay_threshold,
+                               window=window)
     samples = run(sp, c_up, seed)
     return samples[:, :T]

@@ -82,7 +82,9 @@ class WaveNetSynthesizer:
             samples = np.asarray(fused_incremental_sample(
                 self.params, self.cfg, c_up, self._seed_counter,
                 cache_dtype=cache_dtype, weight_dtype=weight_dtype,
-                hbm_delay_threshold=thresh))
+                hbm_delay_threshold=thresh,
+                window=self.cfg.wavenet.sampler_window,
+                chunk=self.cfg.wavenet.sampler_chunk))
         else:
             self._key, sk = jax.random.split(self._key)
             samples, _ = self._sample(self.params, c_up, sk)

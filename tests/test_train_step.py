@@ -129,3 +129,41 @@ def test_nat_gan_disc_pretrain_step():
             unmoved += changed
     assert moved > 0          # disc params updated
     assert unmoved == 0       # generator untouched
+
+
+def test_remat_decoder_same_grads():
+    """remat_decoder=True (the reference's swap_memory lever, rebuilt as
+    jax.checkpoint on the decode scan body) must not change the math."""
+    import dataclasses as dc
+
+    from tacotron2_tpu.models.tacotron.model import Tacotron
+
+    cfg = tiny_config()
+    cfg_r = cfg.replace(tacotron=dc.replace(cfg.tacotron, remat_decoder=True))
+    batch = make_batch(B=2, T_in=10, T_out=12)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2),
+                teacher_forcing=jax.random.PRNGKey(3))
+
+    def loss_fn(cfg_use, params, batch_stats):
+        model = Tacotron(config=cfg_use)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["inputs"], batch["input_lengths"],
+            batch["mel_targets"], batch["ref_mel_emt"], batch["ref_mel_spk"],
+            train=False, teacher_forcing_ratio=1.0,
+            rngs=dict(dropout=jax.random.PRNGKey(5),
+                      zoneout=jax.random.PRNGKey(6),
+                      teacher_forcing=jax.random.PRNGKey(7)))
+        return jnp.mean((out.mel_outputs - batch["mel_targets"]) ** 2)
+
+    model = Tacotron(config=cfg)
+    variables = model.init(rngs, batch["inputs"], batch["input_lengths"],
+                           batch["mel_targets"], batch["ref_mel_emt"],
+                           batch["ref_mel_spk"], train=True)
+    params, bstats = variables["params"], variables["batch_stats"]
+    g_plain = jax.grad(lambda p: loss_fn(cfg, p, bstats))(params)
+    g_remat = jax.grad(lambda p: loss_fn(cfg_r, p, bstats))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g_plain, g_remat)
