@@ -3,8 +3,8 @@
 Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
 audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
 (ops/wavenet_kernel.py) at the reference's full model size (20 layers, 128
-residual channels, Gaussian head, 16 kHz), B=384 streams with bf16 delay-line
-cache/weights and dilations >8 resident in HBM behind W=4 windowed prefetch
+residual channels, Gaussian head, 16 kHz), B=256 streams with bf16 delay-line
+cache/weights and dilations >32 resident in HBM behind W=8 windowed prefetch
 (the measured-best config, scripts/bench_sampler_configs.py; a bit-exact
 all-VMEM f32 run at B=32 is reported in detail). `vs_baseline` compares
 against the pure-XLA lax.scan sampler on the same chip — the best non-kernel
@@ -34,10 +34,10 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def bench_vocoder(cfg, B=384, seconds=1.0, chunk=256, B_exact=32,
-                  hbm_delay_threshold=8, window=4):
-    """Headline: B=384 streams, bf16 delay-line cache/weights, dilations
-    >8 resident in HBM with W=4 windowed prefetch (build_sampler_kernel_hbm)
+def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
+                  hbm_delay_threshold=32, window=8):
+    """Headline: B=256 streams, bf16 delay-line cache/weights, dilations
+    >32 resident in HBM with W=8 windowed prefetch (build_sampler_kernel_hbm)
     — the measured-best config; quantization bounded by the kernel parity
     tests. Detail includes the bit-exact all-VMEM f32 config at B_exact."""
     import jax
@@ -65,11 +65,20 @@ def bench_vocoder(cfg, B=384, seconds=1.0, chunk=256, B_exact=32,
                                    weight_dtype=cache_dtype,
                                    hbm_delay_threshold=threshold,
                                    window=window)
-        np.asarray(run(sp, c_up, 7))  # compile
+        # sync via a 4-byte scalar fetch: on the tunneled dev backend,
+        # block_until_ready does NOT drain the execution queue (measured
+        # 1000x-wrong timings), and np.asarray of the full [B,T] samples
+        # would add ~24 MB/iter of network transfer a production (local
+        # PCIe) host never pays
+        def sync(x):
+            return float(jnp.sum(x[:, -1]))
+
+        sync(run(sp, c_up, 7))  # compile
         iters = 3
         t0 = time.perf_counter()
         for i in range(iters):
-            np.asarray(run(sp, c_up, 8 + i))
+            out = run(sp, c_up, 8 + i)
+        sync(out)
         return (time.perf_counter() - t0) / iters
 
     fused_dt = time_config(B, jnp.bfloat16, hbm_delay_threshold)
@@ -99,6 +108,50 @@ def bench_vocoder(cfg, B=384, seconds=1.0, chunk=256, B_exact=32,
         exact_f32_audio_s_per_s=B_exact * T / exact_dt / sr,
         xla_scan_audio_s_per_s=B * T / scan_dt / sr,
         batch=B, batch_exact=B_exact, samples=T)
+
+
+def bench_tacotron_decode(cfg, B=32, T_in=256, steps=500, M=1024):
+    """Fused Pallas autoregressive mel decode (ops/tacotron_decoder_kernel.py)
+    at full model size; returns mel audio-seconds/s per chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.models.tacotron.decoder import Decoder
+    from tacotron2_tpu.ops.tacotron_decoder_kernel import (
+        build_decoder_kernel, extract_decoder_params)
+
+    rng = np.random.default_rng(0)
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    mem_small = jnp.asarray(rng.normal(size=(2, 8, M)) * 0.1, jnp.float32)
+    keys_small = jnp.zeros((2, 8, cfg.tacotron.attention_dim))
+    variables = dec.init(rngs, 2, 1, keys_small, mem_small, None,
+                         method=Decoder.autoregressive)
+    dp = extract_decoder_params({"decoder": variables["params"]}, cfg)
+
+    memory = jnp.asarray(rng.normal(size=(B, T_in, M)) * 0.1, jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(B, T_in, 128)) * 0.1, jnp.float32)
+    mask = jnp.ones((B, T_in), bool)
+    run = build_decoder_kernel(cfg, B, T_in, steps, M,
+                               weight_dtype=jnp.bfloat16)
+
+    def sync(x):        # f is [B, steps*r, mels]
+        return float(jnp.sum(x[-1, :, 0]))
+
+    f, _, _ = run(dp, keys, memory, mask, 7)
+    sync(f)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        f, s, a = run(dp, keys, memory, mask, 8 + i)
+    sync(f)
+    dt = (time.perf_counter() - t0) / iters
+    r = cfg.tacotron.outputs_per_step
+    frames_per_s = B * steps * r / dt
+    sr, hop = cfg.audio.sample_rate, cfg.audio.effective_hop
+    return dict(mel_audio_s_per_s=frames_per_s * hop / sr,
+                us_per_step=dt / steps * 1e6, batch=B)
 
 
 def bench_griffin_lim(cfg):
@@ -132,7 +185,10 @@ def main():
 
     cfg = get_config("default")
     voc = bench_vocoder(cfg)
+    taco = bench_tacotron_decode(cfg)
     gl_throughput = bench_griffin_lim(cfg)
+    end_to_end = 1.0 / (1.0 / voc["fused_audio_s_per_s"]
+                        + 1.0 / taco["mel_audio_s_per_s"])
 
     print(json.dumps({
         "metric": "wavenet_synthesis_throughput",
@@ -143,8 +199,8 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "model": "WaveNet 20L/128R Gaussian, fused Pallas sampler "
-                     "(B=384, bf16 cache+weights, dilations >8 in HBM, "
-                     "W=4 prefetch windows)",
+                     "(B=256, bf16 cache+weights, dilations >32 in HBM, "
+                     "W=8 prefetch windows)",
             "us_per_step": round(voc["fused_us_per_step"], 2),
             "realtime_factor_per_stream": round(
                 voc["realtime_factor_per_stream"], 2),
@@ -153,6 +209,10 @@ def main():
             "batch_exact": voc["batch_exact"],
             "xla_scan_audio_s_per_s": round(voc["xla_scan_audio_s_per_s"], 2),
             "griffin_lim_audio_s_per_s": round(gl_throughput, 1),
+            "tacotron_decode_audio_s_per_s": round(
+                taco["mel_audio_s_per_s"], 1),
+            "tacotron_decode_us_per_step": round(taco["us_per_step"], 2),
+            "end_to_end_audio_s_per_s": round(end_to_end, 1),
         },
     }))
 

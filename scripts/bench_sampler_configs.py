@@ -51,13 +51,19 @@ def main(specs):
             c_up = jnp.asarray(
                 rng.uniform(0, 1, (B, T, cfg.wavenet.cin_channels)),
                 jnp.float32)
+            # scalar-fetch sync: block_until_ready does not drain the queue
+            # on the tunneled backend; full np.asarray adds MBs of transfer
+            def sync(x):
+                return float(jnp.sum(x[:, -1]))
+
             t0 = time.perf_counter()
-            np.asarray(run(sp, c_up, 7))
+            sync(run(sp, c_up, 7))
             compile_s = time.perf_counter() - t0
             iters = 3
             t0 = time.perf_counter()
             for i in range(iters):
-                np.asarray(run(sp, c_up, 8 + i))
+                out = run(sp, c_up, 8 + i)
+            sync(out)
             dt = (time.perf_counter() - t0) / iters
             print(f"B={B} thr={thr} W={W}: {dt / T * 1e6:.2f} us/step, "
                   f"{B * T / dt / sr:.1f} audio-s/s "

@@ -150,6 +150,13 @@ class TacotronConfig:
     # (hparams.py:262, tacotron.py:354) — enables long-utterance training
     # batches that would otherwise exceed HBM
     remat_decoder: bool = False
+    # run autoregressive synthesis through the fused Pallas decode kernel
+    # (ops/tacotron_decoder_kernel.py, ~6.6x the XLA scan at B=32); falls
+    # back to the scan path for emt_attn models or inputs > 256 chars
+    use_fused_decoder: bool = True
+    # fused-decoder weight storage ('bfloat16' = MXU-native rate, 'float32'
+    # matches the scan path bit-for-bit up to op order)
+    fused_decoder_dtype: str = "bfloat16"
 
     postnet_num_layers: int = 5
     postnet_kernel_size: int = 5
@@ -194,7 +201,7 @@ class WaveNetConfig:
     sampler_hbm_delay_threshold: int = 0
     # HBM prefetch window (rows per DMA); shrunk automatically until it
     # divides every HBM-resident dilation with d/W >= 4. The measured best
-    # large-batch point is B=384, threshold 8, window 4, chunk 256
+    # point is B=256, threshold 32, window 8 — 1,404 audio-s/s/chip
     # (scripts/bench_sampler_configs.py)
     sampler_window: int = 16
     sampler_chunk: int = 512       # conditioning DMA chunk (samples)

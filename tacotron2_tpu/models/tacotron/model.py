@@ -234,6 +234,36 @@ class Tacotron(nn.Module):
         mel_outputs = self._clip(decoder_output + self.postnet_projection(residual))
         return decoder_output, mel_outputs, stops, aligns, aligns_emt, style_tiled
 
+    # ------------------------------------------------ fused-decoder split
+    # The fused Pallas decode (ops/tacotron_decoder_kernel.py) runs the
+    # autoregressive loop outside flax; these two methods expose everything
+    # before and after it as separately jittable passes.
+
+    def synthesis_memory(self, inputs, input_lengths, ref_mel_emt,
+                         ref_mel_spk):
+        """Encoder + style + memory concat + attention keys + padding mask —
+        the part of _decode_pass that runs once per utterance batch."""
+        encoder_outputs = self.encode(inputs, input_lengths, train=False)
+        style_emb, _, _, _ = self._style_embeddings(
+            ref_mel_emt, ref_mel_spk, train=False)
+        T_in = encoder_outputs.shape[1]
+        style_tiled = jnp.broadcast_to(
+            style_emb, (style_emb.shape[0], T_in, style_emb.shape[2]))
+        memory = jnp.concatenate([encoder_outputs, style_tiled], axis=-1)
+        if self.config.tacotron.mask_encoder:
+            mask = jnp.arange(T_in)[None, :] < input_lengths[:, None]
+        else:
+            mask = jnp.ones((memory.shape[0], T_in), bool)
+        keys = self.decoder.cell.attention.compute_keys(memory)
+        return keys, memory, mask
+
+    def postnet_pass(self, frames):
+        """Clip + postnet residual + clip — the tail of _decode_pass."""
+        decoder_output = self._clip(frames)
+        residual = self.postnet(decoder_output, train=False)
+        mel_outputs = self._clip(decoder_output + self.postnet_projection(residual))
+        return decoder_output, mel_outputs
+
     # ------------------------------------------------------------------ main
 
     def __call__(self, inputs, input_lengths, mel_targets=None,

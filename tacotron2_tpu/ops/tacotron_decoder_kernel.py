@@ -1,0 +1,396 @@
+"""Fused Pallas kernel for the full autoregressive Tacotron decode loop.
+
+The XLA `lax.scan` synthesis path (models/tacotron/decoder.py) pays ~322 us
+per decoder step at B=32 — almost entirely op-dispatch latency on a loop whose
+actual math is ~1 GFLOP/step (prenet -> 2x zoneout-LSTM(1024) -> location-
+sensitive attention -> frame/stop projections; reference call chain
+Architecture_wrappers.py:197-267 + attention.py:94-227 + helpers.py:6-133).
+This kernel runs the ENTIRE decode (all `max_steps` steps) in one Pallas
+program, mirroring ops/wavenet_kernel.py:
+
+- every weight (LSTM kernels dominate: [1920,4096] + [2048,4096]) lives in
+  VMEM for the whole utterance batch, in bf16 at the MXU's native rate with
+  f32 accumulation;
+- the location-sensitive conv (k=31, 32 filters, attention.py:37-44) over the
+  cumulative alignments is reformulated as ONE banded matmul: a precomputed
+  [T, T, F] Toeplitz expansion of the conv kernel turns the per-step conv
+  into `cum [B,T] x K [T, T*F]` on the MXU — no gather, no shifted adds;
+- the per-step prenet dropout (always on, modules.py:326-357) draws from the
+  on-core PRNG; zoneout at inference is the deterministic EMA mix;
+- the stop/frame projections fuse into one matmul; stop sigmoid applied
+  in-kernel (TacoTestHelper semantics) so the host only trims lengths.
+
+Support envelope (asserted at build): the default/paper model families —
+no `emt_attn` decoder-side attention (that variant keeps the XLA scan path).
+GST/style conditioning is untouched: style embeddings concat into `memory`
+before the loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+
+NEG_INF = -(2.0 ** 32) + 1.0  # reference masking value (attention.py:214)
+
+
+class DecoderParams(NamedTuple):
+    """Matmul-ready decoder weights (extracted from the flax tree)."""
+
+    pre_w0: jnp.ndarray   # [mels, P]
+    pre_b0: jnp.ndarray   # [P]
+    pre_w1: jnp.ndarray   # [P, P]
+    pre_b1: jnp.ndarray   # [P]
+    l1_wp: jnp.ndarray    # [P, 4U]   prenet rows of LSTM1 kernel
+    l1_wc: jnp.ndarray    # [M, 4U]   context rows
+    l1_wh: jnp.ndarray    # [U, 4U]   hidden rows
+    l1_b: jnp.ndarray     # [4U] (forget bias folded)
+    l2_wx: jnp.ndarray    # [U, 4U]
+    l2_wh: jnp.ndarray    # [U, 4U]
+    l2_b: jnp.ndarray     # [4U]
+    wq: jnp.ndarray       # [U, A]
+    loc_k: jnp.ndarray    # [K, F] location conv taps
+    loc_b: jnp.ndarray    # [F]
+    wloc: jnp.ndarray     # [F, A]
+    v_a: jnp.ndarray      # [A]
+    b_a: jnp.ndarray      # [A]
+    proj_wo: jnp.ndarray  # [U, FO]  FO = r*mels + r  ([frames | stops])
+    proj_wc: jnp.ndarray  # [M, FO]
+    proj_b: jnp.ndarray   # [FO]
+
+
+def extract_decoder_params(params, cfg: Config) -> DecoderParams:
+    """Flatten the flax decoder subtree into DecoderParams.
+
+    Layout produced by models/tacotron/decoder.py: cell/{prenet,lstm1,lstm2,
+    attention,frame_projection,stop_projection}. LSTM kernels are
+    [(x_dim + U), 4U] with x = concat(prenet_out, context) (TF LSTMCell
+    (i,j,f,o) gate order, forget_bias=1 — folded into the bias here).
+    """
+    tc = cfg.tacotron
+    U = tc.decoder_lstm_units
+    P = tc.prenet_layers[-1]
+    r = tc.outputs_per_step
+    mels = cfg.audio.num_mels
+    cell = params["decoder"]["cell"]
+
+    pre = cell["prenet"]
+    l1k = cell["lstm1"]["kernel"]
+    l1b = np.asarray(cell["lstm1"]["bias"]).copy()
+    l2k = cell["lstm2"]["kernel"]
+    l2b = np.asarray(cell["lstm2"]["bias"]).copy()
+    M = l1k.shape[0] - P - U
+    assert l2k.shape[0] == 2 * U, l2k.shape
+    # fold forget_bias=1.0 (modules.py lstm_step) into the f-gate bias
+    l1b[2 * U:3 * U] += 1.0
+    l2b[2 * U:3 * U] += 1.0
+
+    att = cell["attention"]
+    loc_k = jnp.squeeze(att["location_features_convolution"]["kernel"], 1)
+    fp = cell["frame_projection"]["Dense_0"]
+    sp = cell["stop_projection"]["Dense_0"]
+    proj_w = jnp.concatenate([fp["kernel"], sp["kernel"]], axis=1)
+    proj_b = jnp.concatenate([fp["bias"], sp["bias"]], axis=0)
+    assert proj_w.shape == (U + M, r * mels + r), proj_w.shape
+
+    return DecoderParams(
+        pre_w0=pre["Dense_0"]["kernel"], pre_b0=pre["Dense_0"]["bias"],
+        pre_w1=pre["Dense_1"]["kernel"], pre_b1=pre["Dense_1"]["bias"],
+        l1_wp=l1k[:P], l1_wc=l1k[P:P + M], l1_wh=l1k[P + M:],
+        l1_b=jnp.asarray(l1b),
+        l2_wx=l2k[:U], l2_wh=l2k[U:], l2_b=jnp.asarray(l2b),
+        wq=att["query_layer"]["kernel"],
+        loc_k=loc_k,
+        loc_b=att["location_features_convolution"]["bias"],
+        wloc=att["location_features_layer"]["kernel"],
+        v_a=jnp.squeeze(att["attention_variable_projection"], -1),
+        b_a=att["attention_bias"],
+        proj_wo=proj_w[:U], proj_wc=proj_w[U:],
+        proj_b=proj_b)
+
+
+def _uniform_from_bits(bits):
+    """uint32 random bits -> uniform in (0, 1) (same recipe as the vocoder
+    kernel: mantissa bits into [1,2), subtract 1, nudge off zero)."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return jnp.maximum(f - 1.0, 1e-20)
+
+
+def _band_matrix(loc_k, T: int):
+    """[K, F] conv taps -> [T, T, F] banded (Toeplitz) expansion.
+
+    out[b,t,f] = sum_k cum[b, t+k-pad, f] * loc_k[k,f] (SAME correlation,
+    flax nn.Conv semantics) == einsum('bs,stf->btf', cum, band).
+    """
+    K, F = loc_k.shape
+    pad = (K - 1) // 2
+    band = jnp.zeros((T, T, F), loc_k.dtype)
+    for k in range(K):
+        off = k - pad
+        eye = jnp.eye(T, T, off, dtype=loc_k.dtype)     # [s, t]: s = t + off
+        band = band + eye.T[:, :, None] * loc_k[k][None, None, :]
+    return band
+
+
+def _attention_operands(dp: DecoderParams, keys, T: int, dtype):
+    """Precompute the 2-D attention operands (Mosaic takes 2-D matmuls only;
+    3-D dot_general minor-dim merges are unsupported shape casts).
+
+    - band_a [T, T*A]: location conv FOLDED with the location projection —
+      loc[b, t*A+a] = (cum @ band_a)[b, t*A+a] = (conv31(cum) @ W_loc)[b,t,a];
+    - vmat [T*A, T]: block-diagonal v_a, reducing tanh energies over A per t
+      as one matmul;
+    - keys2 [B, T*A]: flattened keys with the attention bias (and the conv
+      bias routed through W_loc) pre-added.
+    """
+    A = dp.wq.shape[1]
+    wp = (dp.loc_k.astype(jnp.float32) @ dp.wloc.astype(jnp.float32))  # [K, A]
+    band_a = _band_matrix(wp, T).reshape(T, T * A)
+    vmat = (jnp.eye(T, dtype=jnp.float32)[:, None, :]
+            * dp.v_a.astype(jnp.float32)[None, :, None]).reshape(T * A, T)
+    b_eff = dp.b_a + dp.loc_b @ dp.wloc
+    B = keys.shape[0]
+    keys2 = (keys.astype(jnp.float32)
+             + b_eff[None, None, :]).reshape(B, T * A)
+    return band_a.astype(dtype), vmat.astype(dtype), keys2.astype(dtype)
+
+
+def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
+                         M: int, *,
+                         weight_dtype=jnp.bfloat16,
+                         emit_alignments: bool = True,
+                         interpret: bool = False):
+    """Compile a fused autoregressive decoder for fixed (B, T_in, max_steps).
+
+    M is the memory feature width (encoder output + style concat). Returns
+    fn(dp: DecoderParams, keys [B,T,A], memory [B,T,M], mask [B,T] bool,
+       seed int32) -> (frames [B, steps*r, mels], stop_probs [B, steps*r],
+    alignments [B, T_in, steps] | None). Semantics match
+    Decoder.autoregressive (decoder.py:213-236) with apply_stop_sigmoid=True.
+    """
+    tc, au = cfg.tacotron, cfg.audio
+    assert not cfg.gst.emt_attn, "emt_attn decoding uses the XLA scan path"
+    U = tc.decoder_lstm_units
+    A = tc.attention_dim
+    F = tc.attention_filters
+    P = tc.prenet_layers[-1]
+    assert tuple(tc.prenet_layers) == (P, P), "kernel assumes 2 equal prenet FCs"
+    r = tc.outputs_per_step
+    mels = au.num_mels
+    FO = r * mels + r
+    drop = float(tc.dropout_rate)
+    keep = 1.0 - drop
+    zo = float(tc.zoneout_rate)
+    Tp = ((T_in + 127) // 128) * 128
+    steps = max_steps
+    smoothing = bool(tc.smoothing)
+    constraint = bool(tc.synthesis_constraint)
+    ctype = tc.synthesis_constraint_type
+    win = int(tc.attention_win_size)
+    fwd = win // 2 if ctype == "window" else win
+    back = (win // 2 + win % 2) if ctype == "window" else 0
+
+    def kernel(seed_ref,
+               keys_ref, mem_ref, mask_ref, band_ref, vmat_ref, smask_ref,
+               pre_w0, pre_b0, pre_w1, pre_b1,
+               l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
+               wq, proj_wo, proj_wc, proj_b,
+               out_ref, *rest):
+        if emit_alignments:
+            align_out, = rest[:1]
+            scratch = rest[1:]
+        else:
+            scratch = rest
+        (xprev, c1, h1, c2, h2, ctx, cum, pmax) = scratch
+        pltpu.prng_seed(seed_ref[0])
+        xprev[:] = jnp.zeros((B, 128), jnp.float32)
+        c1[:] = jnp.zeros((B, U), jnp.float32)
+        h1[:] = jnp.zeros((B, U), jnp.float32)
+        c2[:] = jnp.zeros((B, U), jnp.float32)
+        h2[:] = jnp.zeros((B, U), jnp.float32)
+        ctx[:] = jnp.zeros((B, M), jnp.float32)
+        cum[:] = jnp.zeros((B, Tp), jnp.float32)
+        pmax[:] = jnp.zeros((B, 128), jnp.int32)
+
+        idx_t = jax.lax.broadcasted_iota(jnp.int32, (B, Tp), 1)
+        mask = mask_ref[:]                                   # [B, Tp] f32 1/0
+
+        def step_body(t, _):
+            # ---- prenet (dropout ALWAYS on)
+            x = xprev[:, :mels]
+            hpre = jnp.maximum(
+                jnp.dot(x.astype(weight_dtype), pre_w0[:],
+                        preferred_element_type=jnp.float32) + pre_b0[:], 0.0)
+            if drop > 0:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((2, B, P)), jnp.uint32)
+                u = _uniform_from_bits(bits)
+                hpre = jnp.where(u[0] < keep, hpre * (1.0 / keep), 0.0)
+            hpre = jnp.maximum(
+                jnp.dot(hpre.astype(weight_dtype), pre_w1[:],
+                        preferred_element_type=jnp.float32) + pre_b1[:], 0.0)
+            if drop > 0:
+                hpre = jnp.where(u[1] < keep, hpre * (1.0 / keep), 0.0)
+
+            # ---- LSTM1 on concat(prenet, context) via split matmuls
+            ctx_now = ctx[:]
+            z1 = (jnp.dot(hpre.astype(weight_dtype), l1_wp[:],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(ctx_now.astype(weight_dtype), l1_wc[:],
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(h1[:].astype(weight_dtype), l1_wh[:],
+                            preferred_element_type=jnp.float32)
+                  + l1_b[:])
+            i1, j1, f1, o1 = (z1[:, :U], z1[:, U:2 * U],
+                              z1[:, 2 * U:3 * U], z1[:, 3 * U:])
+            nc1 = jax.nn.sigmoid(f1) * c1[:] + jax.nn.sigmoid(i1) * jnp.tanh(j1)
+            nh1 = jax.nn.sigmoid(o1) * jnp.tanh(nc1)
+            c1[:] = (1 - zo) * nc1 + zo * c1[:]
+            h1[:] = (1 - zo) * nh1 + zo * h1[:]
+
+            z2 = (jnp.dot(h1[:].astype(weight_dtype), l2_wx[:],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(h2[:].astype(weight_dtype), l2_wh[:],
+                            preferred_element_type=jnp.float32)
+                  + l2_b[:])
+            i2, j2, f2, o2 = (z2[:, :U], z2[:, U:2 * U],
+                              z2[:, 2 * U:3 * U], z2[:, 3 * U:])
+            nc2 = jax.nn.sigmoid(f2) * c2[:] + jax.nn.sigmoid(i2) * jnp.tanh(j2)
+            nh2 = jax.nn.sigmoid(o2) * jnp.tanh(nc2)
+            c2[:] = (1 - zo) * nc2 + zo * c2[:]
+            h2[:] = (1 - zo) * nh2 + zo * h2[:]
+            out2 = h2[:]
+
+            # ---- location-sensitive attention (attention.py:54-96), as three
+            # 2-D MXU matmuls: banded conv+projection, tanh, block-diag v_a
+            q = jnp.dot(out2.astype(weight_dtype), wq[:],
+                        preferred_element_type=jnp.float32)       # [B, A]
+            loc = jnp.dot(cum[:].astype(weight_dtype), band_ref[:],
+                          preferred_element_type=jnp.float32)     # [B, Tp*A]
+            q_rep = pltpu.repeat(q, Tp, axis=1)                   # [B, Tp*A]
+            e2 = jnp.tanh(keys_ref[:] + q_rep + loc)
+            energy = jnp.dot(e2.astype(weight_dtype), vmat_ref[:],
+                             preferred_element_type=jnp.float32)  # [B, Tp]
+
+            if constraint:
+                p = pmax[:, :1]
+                forbidden = (idx_t < p - back) | (idx_t >= p + fwd)
+                energy = jnp.where(forbidden, NEG_INF, energy)
+            energy = jnp.where(mask > 0, energy, NEG_INF)
+            if smoothing:
+                sig = jax.nn.sigmoid(energy) * mask
+                align = sig / jnp.sum(sig, axis=-1, keepdims=True)
+            else:
+                emax = jnp.max(energy, axis=-1, keepdims=True)
+                ex = jnp.exp(energy - emax) * mask
+                align = ex / jnp.sum(ex, axis=-1, keepdims=True)
+            cum[:] = cum[:] + align
+            if constraint:
+                pmax[:, :1] = jnp.argmax(align, axis=-1,
+                                         keepdims=True).astype(jnp.int32)
+            # context = einsum('bt,btm->bm') as ONE matmul: tile alignments
+            # across lanes, mask to a block-diagonal [B, B*Tp] band (smask is
+            # a precomputed 0/1 block pattern), and contract against the
+            # batch-major flattened memory [B*Tp, M]. The off-diagonal blocks
+            # cost B x the useful FLOPs (~0.5 GFLOP at B=32) but avoid both
+            # batched dot_general (unsupported) and B unrolled MXU dispatches
+            a_rep = pltpu.repeat(align, B, axis=1)                # [B, B*Tp]
+            ablk = (a_rep * smask_ref[:]).astype(weight_dtype)
+            new_ctx = jnp.dot(ablk, mem_ref[:],
+                              preferred_element_type=jnp.float32)  # [B, M]
+            ctx[:] = new_ctx
+
+            # ---- fused frame+stop projection on concat(out2, context)
+            proj = (jnp.dot(out2.astype(weight_dtype), proj_wo[:],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(new_ctx.astype(weight_dtype), proj_wc[:],
+                              preferred_element_type=jnp.float32)
+                    + proj_b[:])                                  # [B, FO]
+            frames, stops = proj[:, :r * mels], proj[:, r * mels:]
+            out = jnp.concatenate(
+                [frames, jax.nn.sigmoid(stops)], axis=-1)
+            out_ref[t] = out
+            if emit_alignments:
+                align_out[t] = align.astype(align_out.dtype)
+            xprev[:, :mels] = frames[:, (r - 1) * mels:]
+            return 0
+
+        jax.lax.fori_loop(0, steps, step_body, 0)
+
+    n_weights = 15
+    out_shapes = [jax.ShapeDtypeStruct((steps, B, FO), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if emit_alignments:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((steps, B, Tp), jnp.bfloat16))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + n_weights),
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((B, 128), jnp.float32),   # xprev
+            pltpu.VMEM((B, U), jnp.float32),     # c1
+            pltpu.VMEM((B, U), jnp.float32),     # h1
+            pltpu.VMEM((B, U), jnp.float32),     # c2
+            pltpu.VMEM((B, U), jnp.float32),     # h2
+            pltpu.VMEM((B, M), jnp.float32),     # context
+            pltpu.VMEM((B, Tp), jnp.float32),    # cumulative alignments
+            pltpu.VMEM((B, 128), jnp.int32),     # prev max attention
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+
+    @jax.jit
+    def run(dp: DecoderParams, keys, memory, mask, seed):
+        wd = weight_dtype
+        pad_t = Tp - keys.shape[1]
+        keys = jnp.pad(keys, ((0, 0), (0, pad_t), (0, 0)))
+        memory = jnp.pad(memory, ((0, 0), (0, pad_t), (0, 0)))
+        if mask is None:
+            mask = jnp.ones((B, T_in), bool)
+        mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
+        band_a, vmat, keys2 = _attention_operands(dp, keys, Tp, wd)
+        mem2 = memory.reshape(B * Tp, M).astype(wd)
+        smask = (jnp.arange(B)[:, None]
+                 == jnp.arange(B * Tp)[None, :] // Tp).astype(jnp.float32)
+        weights = (
+            dp.pre_w0.astype(wd), dp.pre_b0.astype(jnp.float32),
+            dp.pre_w1.astype(wd), dp.pre_b1.astype(jnp.float32),
+            dp.l1_wp.astype(wd), dp.l1_wc.astype(wd), dp.l1_wh.astype(wd),
+            dp.l1_b.astype(jnp.float32),
+            dp.l2_wx.astype(wd), dp.l2_wh.astype(wd),
+            dp.l2_b.astype(jnp.float32),
+            dp.wq.astype(wd),
+            dp.proj_wo.astype(wd), dp.proj_wc.astype(wd),
+            dp.proj_b.astype(jnp.float32))
+        outs = call(jnp.asarray([seed], jnp.int32),
+                    keys2, mem2, mask, band_a, vmat, smask, *weights)
+        out = outs[0]
+        frames = (out[:, :, :r * mels].transpose(1, 0, 2)
+                  .reshape(B, steps * r, mels))
+        stops = out[:, :, r * mels:].transpose(1, 0, 2).reshape(B, steps * r)
+        aligns = None
+        if emit_alignments:
+            aligns = (outs[1][:, :, :T_in].astype(jnp.float32)
+                      .transpose(1, 2, 0))                 # [B, T_in, steps]
+        return frames, stops, aligns
+
+    return run

@@ -45,6 +45,12 @@ class TacotronSynthesizer:
         self._key = jax.random.PRNGKey(seed)
         self._jit_synth = jax.jit(self._synth_fn,
                                   static_argnames=("max_steps", "use_gta"))
+        # fused Pallas decode path (ops/tacotron_decoder_kernel.py)
+        self._jit_memory = jax.jit(self._memory_fn)
+        self._jit_postnet = jax.jit(self._postnet_fn)
+        self._dec_params = None
+        self._fused_cache: Dict[tuple, object] = {}
+        self._fused_seed = seed
 
     # ------------------------------------------------------------- plumbing
 
@@ -67,6 +73,55 @@ class TacotronSynthesizer:
                 ref_mel_emt=ref_mel_emt, ref_mel_spk=ref_mel_spk,
                 synthesis=True, max_steps=max_steps, train=False, rngs=rngs)
         return (out.mel_outputs, out.alignments, out.stop_token_prediction)
+
+    def _memory_fn(self, params, batch_stats, inputs, input_lengths,
+                   ref_mel_emt, ref_mel_spk):
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs, input_lengths, ref_mel_emt, ref_mel_spk,
+            method=Tacotron.synthesis_memory)
+
+    def _postnet_fn(self, params, batch_stats, frames):
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, frames,
+            method=Tacotron.postnet_pass)
+
+    def _fused_eligible(self, t_in_padded: int) -> bool:
+        tc, gst = self.cfg.tacotron, self.cfg.gst
+        return (tc.use_fused_decoder
+                and jax.default_backend() == "tpu"   # scan path elsewhere
+                and not gst.emt_attn
+                and t_in_padded <= 256               # VMEM: operands ~ T^2
+                and len(set(tc.prenet_layers)) == 1)
+
+    def _fused_synth(self, inputs, input_lengths, refs_emt, refs_spk,
+                     steps: int):
+        """Autoregressive decode via the fused Pallas kernel: jitted
+        memory/keys pass -> whole-decode kernel -> jitted postnet."""
+        import jax.numpy as jnp
+
+        from ..ops.tacotron_decoder_kernel import (build_decoder_kernel,
+                                                   extract_decoder_params)
+        keys, memory, mask = self._jit_memory(
+            self.params, self.batch_stats, jnp.asarray(inputs),
+            jnp.asarray(input_lengths), jnp.asarray(refs_emt),
+            jnp.asarray(refs_spk))
+        B, t_in, M = memory.shape
+        if self._dec_params is None:
+            self._dec_params = extract_decoder_params(self.params, self.cfg)
+        wd = (jnp.bfloat16 if self.cfg.tacotron.fused_decoder_dtype == "bfloat16"
+              else jnp.float32)
+        cache_key = (B, t_in, M, steps)
+        run = self._fused_cache.get(cache_key)
+        if run is None:
+            run = build_decoder_kernel(self.cfg, B, t_in, steps, M,
+                                       weight_dtype=wd)
+            self._fused_cache[cache_key] = run
+        self._fused_seed += 1
+        frames, stops, aligns = run(self._dec_params, keys, memory, mask,
+                                    self._fused_seed)
+        _, mel_out = self._jit_postnet(self.params, self.batch_stats, frames)
+        return mel_out, aligns, stops
 
     def prepare_inputs(self, texts: Sequence[str],
                        pad_multiple: int = 16) -> Tuple[np.ndarray, np.ndarray]:
@@ -121,10 +176,14 @@ class TacotronSynthesizer:
             lengths = tgt_lengths
         else:
             steps = max_steps or self.cfg.tacotron.max_iters
-            mels, aligns, stops = self._jit_synth(
-                self.params, self.batch_stats, inputs, input_lengths,
-                refs_emt, refs_spk, None, self._rngs(),
-                max_steps=steps, use_gta=False)
+            if self._fused_eligible(inputs.shape[1]):
+                mels, aligns, stops = self._fused_synth(
+                    inputs, input_lengths, refs_emt, refs_spk, steps)
+            else:
+                mels, aligns, stops = self._jit_synth(
+                    self.params, self.batch_stats, inputs, input_lengths,
+                    refs_emt, refs_spk, None, self._rngs(),
+                    max_steps=steps, use_gta=False)
             lengths = self.get_output_lengths(np.asarray(stops))
 
         mels = np.asarray(mels)

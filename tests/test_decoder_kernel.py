@@ -1,0 +1,155 @@
+"""Fused Tacotron decoder kernel parity vs the flax scan path.
+
+Runs the Pallas TPU interpreter on CPU. Prenet dropout is disabled via config
+(dropout_rate=0) so both paths are deterministic and comparable exactly; the
+always-on dropout path itself reuses the PRNG recipe already covered by the
+vocoder kernel tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import get_config
+from tacotron2_tpu.models.tacotron.decoder import Decoder
+from tacotron2_tpu.ops.tacotron_decoder_kernel import (
+    DecoderParams, build_decoder_kernel, extract_decoder_params)
+
+B, T_IN, M, STEPS = 4, 20, 256, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("default")
+    cfg = cfg.with_overrides("tacotron.dropout_rate=0.0")
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.normal(size=(B, T_IN, M)), jnp.float32)
+    lengths = jnp.asarray([T_IN, T_IN - 3, T_IN - 7, 5], jnp.int32)
+    mask = jnp.arange(T_IN)[None, :] < lengths[:, None]
+
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    # keys are an input to both paths (compute_keys runs outside the loop),
+    # so any fixed [B, T, A] tensor exercises the kernel
+    keys = jnp.asarray(
+        rng.normal(size=(B, T_IN, cfg.tacotron.attention_dim)) * 0.3,
+        jnp.float32)
+    variables = dec.init(rngs, B, STEPS, keys, memory, mask,
+                         method=Decoder.autoregressive)
+    params = variables["params"]
+    return cfg, params, keys, memory, mask
+
+
+def _flax_out(cfg, params, keys, memory, mask):
+    dec = Decoder(config=cfg)
+    return dec.apply(
+        {"params": params}, B, STEPS, keys, memory, mask,
+        method=Decoder.autoregressive,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+
+
+def test_fused_decoder_matches_scan(setup):
+    cfg, params, keys, memory, mask = setup
+    frames_ref, stops_ref, aligns_ref, _ = _flax_out(
+        cfg, params, keys, memory, mask)
+
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    run = build_decoder_kernel(cfg, B, T_IN, STEPS, M,
+                               weight_dtype=jnp.float32, interpret=True)
+    frames, stops, aligns = run(dp, keys, memory, mask, 3)
+
+    np.testing.assert_allclose(np.asarray(frames), np.asarray(frames_ref),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(stops), np.asarray(stops_ref),
+                               rtol=0, atol=2e-5)
+    # alignments are emitted bf16 (plot-only artifact)
+    np.testing.assert_allclose(np.asarray(aligns), np.asarray(aligns_ref),
+                               rtol=0, atol=8e-3)
+
+
+def test_fused_decoder_no_alignments(setup):
+    cfg, params, keys, memory, mask = setup
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    run = build_decoder_kernel(cfg, B, T_IN, STEPS, M,
+                               weight_dtype=jnp.float32,
+                               emit_alignments=False, interpret=True)
+    frames, stops, aligns = run(dp, keys, memory, mask, 3)
+    assert aligns is None
+    frames_ref, stops_ref, _, _ = _flax_out(cfg, params, keys, memory, mask)
+    np.testing.assert_allclose(np.asarray(frames), np.asarray(frames_ref),
+                               rtol=0, atol=2e-4)
+
+
+def test_fused_decoder_dropout_active(setup):
+    """With dropout ON (the always-on prenet dropout) the kernel produces
+    finite frames that differ from the dropout-off trajectory. (Interpret-mode
+    PRNG is not seed-faithful, so seed sensitivity is asserted on hardware by
+    scripts/bench_tacotron.py, not here.)"""
+    cfg, params, keys, memory, mask = setup
+    cfg_drop = get_config("default")  # dropout_rate=0.5
+    dp = extract_decoder_params({"decoder": params}, cfg_drop)
+    run = build_decoder_kernel(cfg_drop, B, T_IN, STEPS, M,
+                               weight_dtype=jnp.float32,
+                               emit_alignments=False, interpret=True)
+    f1, _, _ = run(dp, keys, memory, mask, 3)
+    assert np.isfinite(np.asarray(f1)).all()
+    frames_off, _, _, _ = _flax_out(cfg, params, keys, memory, mask)
+    assert not np.allclose(np.asarray(f1), np.asarray(frames_off), atol=1e-3)
+
+
+def test_fused_pipeline_matches_model_synthesis():
+    """Full integration: synthesis_memory -> fused kernel -> postnet_pass
+    reproduces model.apply(synthesis=True) when dropout is off (r=2 path)."""
+    import dataclasses as dc
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_tacotron_model import make_batch, tiny_config
+
+    from tacotron2_tpu.models.tacotron.model import Tacotron
+
+    cfg = tiny_config()
+    cfg = cfg.replace(tacotron=dc.replace(
+        cfg.tacotron, dropout_rate=0.0, prenet_layers=(16, 16)))
+    batch = make_batch(B=2, T_in=10, T_out=12)
+    steps = 4
+    model = Tacotron(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2),
+                teacher_forcing=jax.random.PRNGKey(3))
+    variables = model.init(rngs, batch["inputs"], batch["input_lengths"],
+                           batch["mel_targets"], batch["ref_mel_emt"],
+                           batch["ref_mel_spk"], train=True)
+    vars_infer = {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"]}
+
+    out_ref = model.apply(
+        vars_infer, batch["inputs"], batch["input_lengths"],
+        ref_mel_emt=batch["ref_mel_emt"], ref_mel_spk=batch["ref_mel_spk"],
+        synthesis=True, max_steps=steps, train=False,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+
+    keys, memory, mask = model.apply(
+        vars_infer, batch["inputs"], batch["input_lengths"],
+        batch["ref_mel_emt"], batch["ref_mel_spk"],
+        method=Tacotron.synthesis_memory)
+    dp = extract_decoder_params(variables["params"], cfg)
+    run = build_decoder_kernel(cfg, 2, int(memory.shape[1]), steps,
+                               int(memory.shape[2]),
+                               weight_dtype=jnp.float32, interpret=True)
+    frames, stops, aligns = run(dp, keys, memory, mask, 5)
+    _, mel_out = model.apply(vars_infer, frames, method=Tacotron.postnet_pass)
+
+    np.testing.assert_allclose(np.asarray(mel_out),
+                               np.asarray(out_ref.mel_outputs),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(stops),
+                               np.asarray(out_ref.stop_token_prediction),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aligns),
+                               np.asarray(out_ref.alignments),
+                               rtol=0, atol=8e-3)
