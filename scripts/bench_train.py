@@ -1,0 +1,137 @@
+"""Training-throughput bench: full-size Tacotron + WaveNet train steps on the
+real chip, reported as audio-seconds of training data consumed per wall-second
+(and ms/step — the reference's own `sec/step` rolling metric,
+tacotron/train.py:489, wavenet_vocoder/train.py:307-308).
+
+Shapes mirror the reference's recommended training regime (hparams.py:29-35,
+265-267, 330-332): Tacotron batch 32/chip at a bucketed ~400-frame mel length
+(LJSpeech median ~6.5 s of audio per utterance), WaveNet batch 8/chip on the
+11,000-sample random crop (hparams.py:359).
+
+Usage: python scripts/bench_train.py [--model tacotron|wavenet|both]
+       [--taco-batch 32] [--t-out 400] [--wn-batch 8] [--steps 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _enable_compile_cache():
+    import jax
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def bench_tacotron_train(cfg, B, T_out, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+
+    rng = np.random.default_rng(0)
+    T_in = max(8, T_out // 8)  # ~chars-per-frame ratio at r=2 on LJSpeech
+    batch = dict(
+        inputs=jnp.asarray(rng.integers(2, 60, (B, T_in)), jnp.int32),
+        input_lengths=jnp.full((B,), T_in, jnp.int32),
+        mel_targets=jnp.asarray(
+            rng.uniform(-4, 4, (B, T_out, cfg.audio.num_mels)), jnp.float32),
+        stop_token_targets=jnp.zeros((B, T_out), jnp.float32),
+        targets_lengths=jnp.full((B,), T_out, jnp.int32),
+        ref_mel_emt=jnp.asarray(
+            rng.uniform(-4, 4, (B, 128, cfg.audio.num_mels)), jnp.float32),
+        ref_mel_spk=jnp.asarray(
+            rng.uniform(-4, 4, (B, 128, cfg.audio.num_mels)), jnp.float32),
+        emt_labels=jnp.zeros((B,), jnp.int32),
+        spk_labels=jnp.zeros((B,), jnp.int32))
+
+    trainer = TacotronTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    float(m["loss"])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    hop, sr = cfg.audio.effective_hop, cfg.audio.sample_rate
+    audio_s = B * T_out * hop / sr
+    return dict(model="tacotron", batch=B, mel_frames=T_out,
+                ms_per_step=dt * 1e3, audio_s_per_s=audio_s / dt,
+                compile_s=compile_s)
+
+
+def bench_wavenet_train(cfg, B, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+
+    hop = cfg.audio.effective_hop
+    T = (cfg.train.max_time_steps // hop) * hop  # 11000 → hop-aligned crop
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, T, 1)), jnp.float32)
+    batch = dict(
+        x=x, y=x,
+        c=jnp.asarray(rng.uniform(0, 1, (B, T // hop, cfg.audio.num_mels)),
+                      jnp.float32),
+        input_lengths=jnp.full((B,), T, jnp.int32))
+
+    trainer = WaveNetTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step)
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    float(m["loss"])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    audio_s = B * T / cfg.audio.sample_rate
+    return dict(model="wavenet", batch=B, crop_samples=T,
+                ms_per_step=dt * 1e3, audio_s_per_s=audio_s / dt,
+                compile_s=compile_s)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="both",
+                   choices=["tacotron", "wavenet", "both"])
+    p.add_argument("--taco-batch", type=int, default=32)
+    p.add_argument("--t-out", type=int, default=400)
+    p.add_argument("--wn-batch", type=int, default=8)
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args(argv)
+
+    _enable_compile_cache()
+    from tacotron2_tpu.config import Config
+    cfg = Config()
+
+    results = []
+    if args.model in ("tacotron", "both"):
+        r = bench_tacotron_train(cfg, args.taco_batch, args.t_out, args.steps)
+        print(json.dumps(r))
+        results.append(r)
+    if args.model in ("wavenet", "both"):
+        r = bench_wavenet_train(cfg, args.wn_batch, args.steps)
+        print(json.dumps(r))
+        results.append(r)
+    return results
+
+
+if __name__ == "__main__":
+    main()
