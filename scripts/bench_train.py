@@ -113,13 +113,21 @@ def main(argv=None):
                    choices=["tacotron", "wavenet", "both"])
     p.add_argument("--taco-batch", type=int, default=32)
     p.add_argument("--t-out", type=int, default=400)
-    p.add_argument("--wn-batch", type=int, default=8)
+    p.add_argument("--wn-batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--f32", action="store_true",
+                   help="disable the bf16 WaveNet residual stack (measured "
+                        "best: bf16 at B=16, 1.4x the f32 B=8 sweet spot)")
     args = p.parse_args(argv)
 
     _enable_compile_cache()
+    import dataclasses
+
     from tacotron2_tpu.config import Config
     cfg = Config()
+    if not args.f32:
+        cfg = cfg.replace(wavenet=dataclasses.replace(
+            cfg.wavenet, compute_dtype="bfloat16"))
 
     results = []
     if args.model in ("tacotron", "both"):

@@ -239,6 +239,17 @@ class WaveNetConfig:
     dropout: float = 0.05
     weight_normalization: bool = False
     init_scale: float = 1.0
+    # rematerialize each gated residual block in the backward pass
+    # (jax.checkpoint): activations of the 11k-sample training crops are
+    # HBM-bandwidth-bound; recompute beats spilling at batch >8 — the
+    # TPU-native analog of the reference's swap_memory offload
+    # (hparams.py:326).
+    remat_conv_stack: bool = False
+    # mixed-precision training: compute the residual stack in bfloat16
+    # (params and the distribution head stay float32). The stack is
+    # HBM-bandwidth-bound at training crop lengths; halving activation
+    # bytes measures ~1.45x (B=8) to ~2x (B=32) on the conv stack.
+    compute_dtype: str = "float32"      # {float32, bfloat16}
 
     @property
     def dilations(self) -> tuple:

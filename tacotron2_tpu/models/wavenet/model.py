@@ -42,8 +42,13 @@ class WaveNet(nn.Module):
         wn = self.config.wavenet
         self.scalar_input = is_scalar_input(wn.input_type)
         wnorm, isc = wn.weight_normalization, wn.init_scale
+        # bf16 mixed precision for the (HBM-bound) residual stack; the
+        # distribution head and loss stay f32.
+        dt = jnp.bfloat16 if wn.compute_dtype == "bfloat16" else None
+        self.compute_dtype = dt
         self.first_conv = Conv1x1(wn.residual_channels, weight_norm=wnorm,
-                                  init_scale=isc, name="input_convolution")
+                                  init_scale=isc, dtype=dt,
+                                  name="input_convolution")
         self.residual_layers = [
             ResidualConv1DGLU(
                 residual_channels=wn.residual_channels,
@@ -53,7 +58,7 @@ class WaveNet(nn.Module):
                 dilation=d, dropout=wn.dropout,
                 cin_channels=wn.cin_channels, gin_channels=wn.gin_channels,
                 use_bias=wn.use_bias, residual_legacy=wn.residual_legacy,
-                weight_norm=wnorm, init_scale=isc,
+                weight_norm=wnorm, init_scale=isc, dtype=dt,
                 name=f"residual_block_{i}")
             for i, d in enumerate(wn.dilations)]
         self.final_conv1 = Conv1x1(wn.skip_out_channels, weight_norm=wnorm,
@@ -97,17 +102,30 @@ class WaveNet(nn.Module):
         if g_vec is not None:
             g = jnp.broadcast_to(g_vec[:, None, :],
                                  (x.shape[0], x.shape[1], g_vec.shape[-1]))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            if c is not None:
+                c = c.astype(self.compute_dtype)
+            if g is not None:
+                g = g.astype(self.compute_dtype)
         x = self.first_conv(x)
+
+        def run_block(conv, x, c, g):
+            return conv(x, c=c, g=g, train=train)
+
+        if train and wn.remat_conv_stack:
+            run_block = nn.remat(run_block, prevent_cse=False)
         skips = None
         for conv in self.residual_layers:
-            x, h = conv(x, c=c, g=g, train=train)
+            x, h = run_block(conv, x, c, g)
             if skips is None:
                 skips = h
             else:
                 skips = skips + h
                 if wn.legacy:
-                    skips = skips * np.sqrt(0.5)
-        x = nn.relu(skips)
+                    skips = skips * jnp.asarray(np.sqrt(0.5), h.dtype)
+        # distribution head in f32 (log-scale numerics)
+        x = nn.relu(skips.astype(jnp.float32))
         x = nn.relu(self.final_conv1(x))
         return self.final_conv2(x)
 

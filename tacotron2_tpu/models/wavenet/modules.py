@@ -15,7 +15,7 @@ Re-designs of reference code/wavenet_vocoder/models/modules.py:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -50,6 +50,7 @@ class CausalConv1D(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     init_scale: float = 1.0
+    dtype: Any = None                   # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -58,18 +59,22 @@ class CausalConv1D(nn.Module):
         if not self.weight_norm:
             return nn.Conv(self.filters, (self.kernel_size,),
                            kernel_dilation=(self.dilation,), padding="VALID",
-                           use_bias=self.use_bias, kernel_init=glorot)(x)
+                           use_bias=self.use_bias, kernel_init=glorot,
+                           dtype=self.dtype)(x)
         in_c = x.shape[-1]
         v = self.param("v", glorot, (self.kernel_size, in_c, self.filters))
         g = self.param("g", lambda key, shape: jnp.sqrt(
             jnp.sum(v ** 2, axis=(0, 1))) * self.init_scale, (self.filters,))
         kernel = weight_normed(v, g)
+        if self.dtype is not None:
+            x, kernel = x.astype(self.dtype), kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1,), padding="VALID",
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.filters,))
+            bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 
@@ -80,18 +85,23 @@ class Conv1x1(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     init_scale: float = 1.0
+    dtype: Any = None                   # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         if not self.weight_norm:
             return nn.Dense(self.filters, use_bias=self.use_bias,
-                            kernel_init=glorot)(x)
+                            kernel_init=glorot, dtype=self.dtype)(x)
         v = self.param("v", glorot, (x.shape[-1], self.filters))
         g = self.param("g", lambda key, shape: jnp.sqrt(
             jnp.sum(v ** 2, axis=0)) * self.init_scale, (self.filters,))
-        y = x @ weight_normed(v, g)
+        kernel = weight_normed(v, g)
+        if self.dtype is not None:
+            x, kernel = x.astype(self.dtype), kernel.astype(self.dtype)
+        y = x @ kernel
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.filters,))
+            bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 
@@ -113,31 +123,32 @@ class ResidualConv1DGLU(nn.Module):
     residual_legacy: bool = True
     weight_norm: bool = False
     init_scale: float = 1.0
+    dtype: Any = None                   # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, c=None, g=None, *, train: bool):
-        wn, sc = self.weight_norm, self.init_scale
+        wn, sc, dt = self.weight_norm, self.init_scale, self.dtype
         residual = x
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = CausalConv1D(self.gate_channels, self.kernel_size, self.dilation,
-                         self.use_bias, wn, sc, name="causal_conv")(x)
+                         self.use_bias, wn, sc, dt, name="causal_conv")(x)
         a, b = jnp.split(x, 2, axis=-1)
 
         if c is not None:
             ca, cb = jnp.split(
-                Conv1x1(self.gate_channels, self.use_bias, wn, sc,
+                Conv1x1(self.gate_channels, self.use_bias, wn, sc, dt,
                         name="cin_conv")(c), 2, axis=-1)
             a, b = a + ca, b + cb
         if g is not None:
             ga, gb = jnp.split(
-                Conv1x1(self.gate_channels, self.use_bias, wn, sc,
+                Conv1x1(self.gate_channels, self.use_bias, wn, sc, dt,
                         name="gin_conv")(g), 2, axis=-1)
             a, b = a + ga, b + gb
 
         x = jnp.tanh(a) * jax.nn.sigmoid(b)
-        s = Conv1x1(self.skip_out_channels, self.use_bias, wn, sc,
+        s = Conv1x1(self.skip_out_channels, self.use_bias, wn, sc, dt,
                     name="skip_conv")(x)
-        x = Conv1x1(self.residual_channels, self.use_bias, wn, sc,
+        x = Conv1x1(self.residual_channels, self.use_bias, wn, sc, dt,
                     name="out_conv")(x)
         if self.residual_legacy:
             x = (x + residual) * np.sqrt(0.5)

@@ -139,3 +139,62 @@ def test_paper_preset_mol_train_step():
             l0 = float(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < l0  # MoL NLL decreasing
+
+def test_bf16_stack_train_step_converges():
+    """compute_dtype=bfloat16: residual stack in bf16 (params/head f32) —
+    loss matches the f32 stack closely at init and decreases under training,
+    and remat_conv_stack composes with it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.config import Config
+    from tacotron2_tpu.models.wavenet.model import WaveNet, compute_wavenet_loss
+    from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+
+    base = Config()
+    small = dataclasses.replace(
+        base.wavenet, layers=4, stacks=2, residual_channels=8,
+        gate_channels=16, skip_out_channels=8, upsample_scales=(2, 2))
+    cfg32 = base.replace(wavenet=small)
+    cfgbf = base.replace(wavenet=dataclasses.replace(
+        small, compute_dtype="bfloat16", remat_conv_stack=True))
+    rng = np.random.default_rng(0)
+    B, T_mel, hop = 2, 6, 4
+    batch = dict(
+        x=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop, 1)), jnp.float32),
+        y=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop)), jnp.float32),
+        c=jnp.asarray(rng.uniform(0, 1, (B, T_mel, cfg32.wavenet.cin_channels)),
+                      jnp.float32),
+        input_lengths=jnp.full((B,), T_mel * hop, jnp.int32))
+
+    # same params, both stacks: loss agrees at init
+    lengths = batch["input_lengths"]
+    m32, mbf = WaveNet(config=cfg32), WaveNet(config=cfgbf)
+    v = m32.init(dict(params=jax.random.PRNGKey(0),
+                      dropout=jax.random.PRNGKey(1)),
+                 batch["x"], batch["c"], None, train=False)
+    l32 = compute_wavenet_loss(m32.apply(v, batch["x"], batch["c"], None,
+                                         train=False),
+                               batch["y"], lengths, cfg32)["loss"]
+    lbf = compute_wavenet_loss(mbf.apply(v, batch["x"], batch["c"], None,
+                                         train=False),
+                               batch["y"], lengths, cfgbf)["loss"]
+    assert float(mbf.apply(v, batch["x"], batch["c"], None,
+                           train=False).y_hat.dtype == jnp.float32)
+    np.testing.assert_allclose(float(l32), float(lbf), rtol=2e-2)
+
+    trainer = WaveNetTrainer(cfgbf)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # params (and grads) stay f32 under the bf16 stack
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    step = jax.jit(trainer.train_step)
+    l0 = None
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+        if l0 is None:
+            l0 = float(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < l0
