@@ -116,8 +116,9 @@ def main(argv=None):
     p.add_argument("--wn-batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--f32", action="store_true",
-                   help="disable the bf16 WaveNet residual stack (measured "
-                        "best: bf16 at B=16, 1.4x the f32 B=8 sweet spot)")
+                   help="disable bf16 mixed precision (WaveNet residual "
+                        "stack / Tacotron decode scan); measured best: "
+                        "bf16 WaveNet B=16 (1.4x f32) and bf16 Tacotron")
     args = p.parse_args(argv)
 
     _enable_compile_cache()
@@ -126,8 +127,11 @@ def main(argv=None):
     from tacotron2_tpu.config import Config
     cfg = Config()
     if not args.f32:
-        cfg = cfg.replace(wavenet=dataclasses.replace(
-            cfg.wavenet, compute_dtype="bfloat16"))
+        cfg = cfg.replace(
+            wavenet=dataclasses.replace(cfg.wavenet,
+                                        compute_dtype="bfloat16"),
+            tacotron=dataclasses.replace(cfg.tacotron,
+                                         compute_dtype="bfloat16"))
 
     results = []
     if args.model in ("tacotron", "both"):

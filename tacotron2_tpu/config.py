@@ -150,6 +150,12 @@ class TacotronConfig:
     # (hparams.py:262, tacotron.py:354) — enables long-utterance training
     # batches that would otherwise exceed HBM
     remat_decoder: bool = False
+    # mixed-precision decoder training: run the decode scan (prenet, LSTMs,
+    # attention, projections) in bfloat16 — the scan re-streams ~54 MB of
+    # decoder weights from HBM every step, so halving bytes is ~1.3x on the
+    # train step. Master params, cumulative alignments, BatchNorm stacks
+    # (encoder/postnet), and all losses stay float32.
+    compute_dtype: str = "float32"      # {float32, bfloat16}
     # run autoregressive synthesis through the fused Pallas decode kernel
     # (ops/tacotron_decoder_kernel.py, ~6.6x the XLA scan at B=32); falls
     # back to the scan path for emt_attn models or inputs > 256 chars

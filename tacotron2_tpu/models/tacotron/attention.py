@@ -64,8 +64,13 @@ class AttentionParams(nn.Module):
         """
         q = self.query_layer(query)[:, None, :]                      # [B, 1, A]
         f = self.location_convolution(cum_alignments[:, :, None])    # [B, T, F]
-        loc = self.location_layer(f)                                 # [B, T, A]
-        energy = jnp.squeeze(jnp.tanh(keys + q + loc + self.b_a) @ self.v_a, -1)
+        # under mixed precision the cumulative alignments stay f32 (they
+        # accumulate ~1/step); cast the location features back down so the
+        # f32 carry doesn't promote the whole energy/softmax/context chain
+        loc = self.location_layer(f).astype(keys.dtype)              # [B, T, A]
+        energy = jnp.squeeze(
+            jnp.tanh(keys + q + loc + self.b_a.astype(keys.dtype)) @ self.v_a,
+            -1)
 
         if synthesis_constraint:
             T = energy.shape[-1]

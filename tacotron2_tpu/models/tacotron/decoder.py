@@ -135,6 +135,12 @@ class DecoderCell(nn.Module):
             context=context, cum_alignments=cum_align, max_attention=max_att,
             prev_output=frames[:, -self.config.audio.num_mels:],
             context_emt=context_emt)
+        # pin the carry dtype to the input state's dtype: under mixed
+        # precision the caller chooses a bf16 carry, but during model.init
+        # (f32 params) or f32-param apply the math may come out f32 — the
+        # scan requires carry-in == carry-out.
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), new_state, state)
         return new_state, (frames, stops, alignments, alignments_emt)
 
     def zero_state(self, batch: int, t_in: int, memory_dim: int,
@@ -204,8 +210,16 @@ class Decoder(nn.Module):
         coins = (jax.random.uniform(self.make_rng("teacher_forcing"), (steps,))
                  < teacher_forcing_ratio)
 
-        carry = self.cell.zero_state(B, memory.shape[1], memory.shape[2],
-                                     memory.dtype)
+        bf16 = tc.compute_dtype == "bfloat16"
+        if bf16:
+            keys, memory, shifted = (x.astype(jnp.bfloat16)
+                                     for x in (keys, memory, shifted))
+            if emt_memory is not None:
+                emt_memory = emt_memory.astype(jnp.bfloat16)
+            if ref_spk is not None:
+                ref_spk = ref_spk.astype(jnp.bfloat16)
+
+        carry = self._initial_carry(B, memory, bf16)
 
         def step(cell, st, xs):
             teacher_frame, coin = xs
@@ -220,6 +234,17 @@ class Decoder(nn.Module):
             remat=tc.remat_decoder)
         return self._assemble(frames, stops, aligns, aligns_emt, B)
 
+    def _initial_carry(self, B, memory, bf16: bool):
+        """Zero carry; in bf16 mode the LSTM/context state is bf16 but the
+        cumulative alignments stay f32 (they accumulate ~1 unit/step — bf16's
+        8-bit mantissa would quantize the location features)."""
+        carry = self.cell.zero_state(B, memory.shape[1], memory.shape[2],
+                                     memory.dtype)
+        if bf16:
+            carry = carry._replace(cum_alignments=jnp.zeros(
+                (B, memory.shape[1]), jnp.float32))
+        return carry
+
     def autoregressive(self, batch: int, max_steps: int, keys, memory,
                        memory_mask, *, emt_memory=None, ref_spk=None,
                        labels=None):
@@ -229,8 +254,14 @@ class Decoder(nn.Module):
         are post-sigmoid (TacoTestHelper semantics) for host-side length
         recovery.
         """
-        carry = self.cell.zero_state(batch, memory.shape[1], memory.shape[2],
-                                     memory.dtype)
+        bf16 = self.config.tacotron.compute_dtype == "bfloat16"
+        if bf16:
+            keys, memory = (x.astype(jnp.bfloat16) for x in (keys, memory))
+            if emt_memory is not None:
+                emt_memory = emt_memory.astype(jnp.bfloat16)
+            if ref_spk is not None:
+                ref_spk = ref_spk.astype(jnp.bfloat16)
+        carry = self._initial_carry(batch, memory, bf16)
 
         def step(cell, st, _):
             return cell(st, st.prev_output, keys, memory, memory_mask,
@@ -246,8 +277,13 @@ class Decoder(nn.Module):
         return self._assemble(frames, stops, aligns, aligns_emt, batch)
 
     def _assemble(self, frames, stops, aligns, aligns_emt, B):
-        """Scan outputs (step-major) → batch-major reference layout."""
+        """Scan outputs (step-major) → batch-major reference layout; losses
+        and host-side length recovery always see f32."""
         num_mels = self.config.audio.num_mels
+        frames, stops, aligns = (x.astype(jnp.float32)
+                                 for x in (frames, stops, aligns))
+        if aligns_emt is not None:
+            aligns_emt = aligns_emt.astype(jnp.float32)
         # frames: [steps, B, r·mels] → [B, steps·r, mels] (tacotron.py:359)
         frames = frames.transpose(1, 0, 2).reshape(B, -1, num_mels)
         # stops: [steps, B, r] → [B, steps·r] (tacotron.py:360)

@@ -92,6 +92,15 @@ class TacotronTrainer:
     # ------------------------------------------------------------------ fwd
 
     def _forward(self, params, batch_stats, batch, rngs, tfr, *, train: bool):
+        if self.cfg.tacotron.compute_dtype == "bfloat16":
+            # compute-copy of the params in bf16 (master copy / optimizer /
+            # losses stay f32; the cast is differentiable so grads come back
+            # f32). The decoder casts its inputs to bf16 so the decode scan
+            # runs fully in bf16; encoder/postnet stay f32 because their
+            # BatchNorm statistics (f32) re-promote activations.
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(
             mel_targets=batch["mel_targets"],

@@ -167,3 +167,43 @@ def test_remat_decoder_same_grads():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         g_plain, g_remat)
+
+
+def test_bf16_decoder_train_step():
+    """tacotron.compute_dtype=bfloat16: decode scan in bf16 (master params,
+    cum-alignments, BN stacks, losses stay f32) — init-loss parity with the
+    f32 path and decreasing loss under training."""
+    import dataclasses
+
+    from test_tacotron_model import make_batch, tiny_config
+
+    cfg = tiny_config()
+    cfg_bf = cfg.replace(tacotron=dataclasses.replace(
+        cfg.tacotron, compute_dtype="bfloat16"))
+    batch = make_batch(B=4, T_in=10, T_out=12)
+    batch["input_lengths"] = jnp.full((4,), 10, jnp.int32)
+    batch["targets_lengths"] = jnp.full((4,), 12, jnp.int32)
+
+    tr32, trbf = TacotronTrainer(cfg), TacotronTrainer(cfg_bf)
+    s32 = tr32.init_state(jax.random.PRNGKey(0), batch)
+    rngs = dict(zip(["dropout", "zoneout", "teacher_forcing"],
+                    jax.random.split(jax.random.PRNGKey(1), 3)))
+    o32, _ = tr32._forward(s32.params, s32.batch_stats, batch, rngs,
+                           jnp.asarray(1.0), train=True)
+    obf, _ = trbf._forward(s32.params, s32.batch_stats, batch, rngs,
+                           jnp.asarray(1.0), train=True)
+    assert obf.mel_outputs.dtype == jnp.float32
+    l32 = float(tr32._losses(o32, batch, s32.params)["loss"])
+    lbf = float(trbf._losses(obf, batch, s32.params)["loss"])
+    assert abs(l32 - lbf) / abs(l32) < 2e-2
+
+    state = trbf.init_state(jax.random.PRNGKey(0), batch)
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(state.params))
+    step = jax.jit(trbf.train_step)
+    l0 = None
+    for i in range(6):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert np.isfinite(float(m["loss"])) and float(m["loss"]) < l0
