@@ -190,6 +190,30 @@ def main():
     end_to_end = 1.0 / (1.0 / voc["fused_audio_s_per_s"]
                         + 1.0 / taco["mel_audio_s_per_s"])
 
+    # training throughput (measured-best bf16 mixed-precision configs;
+    # guarded — a transient compile failure must not sink the synthesis
+    # headline)
+    train_detail = {}
+    try:
+        import dataclasses
+
+        from scripts.bench_train import (bench_tacotron_train,
+                                         bench_wavenet_train)
+        tbf = cfg.replace(tacotron=dataclasses.replace(
+            cfg.tacotron, compute_dtype="bfloat16"))
+        wbf = cfg.replace(wavenet=dataclasses.replace(
+            cfg.wavenet, compute_dtype="bfloat16"))
+        tt = bench_tacotron_train(tbf, 96, 400, 10)
+        wt = bench_wavenet_train(wbf, 16, 10)
+        train_detail = {
+            "tacotron_train_audio_s_per_s": round(tt["audio_s_per_s"], 1),
+            "tacotron_train_ms_per_step": round(tt["ms_per_step"], 1),
+            "wavenet_train_audio_s_per_s": round(wt["audio_s_per_s"], 1),
+            "wavenet_train_ms_per_step": round(wt["ms_per_step"], 1),
+        }
+    except Exception as e:  # pragma: no cover
+        train_detail = {"train_bench_error": f"{type(e).__name__}"}
+
     print(json.dumps({
         "metric": "wavenet_synthesis_throughput",
         "value": round(voc["fused_audio_s_per_s"], 2),
@@ -213,6 +237,7 @@ def main():
                 taco["mel_audio_s_per_s"], 1),
             "tacotron_decode_us_per_step": round(taco["us_per_step"], 2),
             "end_to_end_audio_s_per_s": round(end_to_end, 1),
+            **train_detail,
         },
     }))
 
