@@ -163,6 +163,15 @@ class TacotronConfig:
     # fused-decoder weight storage ('bfloat16' = MXU-native rate, 'float32'
     # matches the scan path bit-for-bit up to op order)
     fused_decoder_dtype: str = "bfloat16"
+    # run the TEACHER-FORCED decode (training fwd+bwd via custom_vjp, GTA and
+    # teacher-forced eval fwd) through the fused Pallas train kernels
+    # (ops/tacotron_train_kernel.py) — keeps the ~27 MB of decoder weights
+    # VMEM-resident across all T_out/r steps instead of re-streaming them
+    # from HBM per scan step. Single-chip only (the kernel is not
+    # shard_map-wrapped yet); falls back to the scan for emt_attn/smoothing.
+    use_fused_train_decoder: bool = False
+    # fused train-decoder weight storage + residual precision
+    fused_train_dtype: str = "bfloat16"
 
     postnet_num_layers: int = 5
     postnet_kernel_size: int = 5
