@@ -177,6 +177,50 @@ def _cell_scan(cell: DecoderCell, carry, xs_step_major, step_fn,
     return scan(cell, carry, xs_step_major)
 
 
+_FUSED_TF_CACHE: dict = {}
+
+
+def _fused_teacher_forced_fn(cfg: Config, B: int, T_in: int, steps: int,
+                             M: int, train_zoneout: bool):
+    """Build (and cache) the fused teacher-forced decode for these shapes."""
+    from ...ops.tacotron_train_kernel import (build_train_fwd,
+                                              make_fused_teacher_forced)
+    import jax.numpy as jnp  # noqa: F811 (local alias for dtype lookup)
+
+    tc = cfg.tacotron
+    wd = (jnp.bfloat16 if tc.fused_train_dtype == "bfloat16"
+          else jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    key = (B, T_in, steps, M, tc.fused_train_dtype, train_zoneout, interpret,
+           tc.decoder_lstm_units, tc.attention_dim, tuple(tc.prenet_layers),
+           tc.outputs_per_step, cfg.audio.num_mels, tc.dropout_rate,
+           tc.zoneout_rate)
+    fn = _FUSED_TF_CACHE.get(key)
+    if fn is None:
+        if train_zoneout:
+            fn = make_fused_teacher_forced(cfg, B, T_in, steps, M,
+                                           weight_dtype=wd,
+                                           interpret=interpret)
+        else:
+            # eval/GTA: forward-only, EMA zoneout — no vjp wrapper needed
+            fwd = build_train_fwd(cfg, B, T_in, steps, M, weight_dtype=wd,
+                                  train_zoneout=False, interpret=interpret)
+            r = tc.outputs_per_step
+            mels = cfg.audio.num_mels
+            FO = r * mels + r
+
+            def fn(dp, keys, memory, mask, teacher, coins, seed):
+                res = fwd(dp, keys, memory, mask, teacher, coins, seed)
+                out, align = res["out"], res["align"]
+                frames = (out[:, :, :r * mels].transpose(1, 0, 2)
+                          .reshape(B, steps * r, mels))
+                stops = (out[:, :, r * mels:FO].transpose(1, 0, 2)
+                         .reshape(B, steps * r))
+                return frames, stops, align[:, :, :T_in].transpose(1, 2, 0)
+        _FUSED_TF_CACHE[key] = fn
+    return fn
+
+
 class Decoder(nn.Module):
     """Full decode loops (teacher-forced and autoregressive) around DecoderCell."""
 
@@ -184,6 +228,39 @@ class Decoder(nn.Module):
 
     def setup(self):
         self.cell = DecoderCell(self.config)
+
+    def _teacher_forced_fused(self, mel_targets, keys, memory, memory_mask,
+                              teacher_forcing_ratio, *, train: bool):
+        """Teacher-forced decode through the fused Pallas train kernels
+        (ops/tacotron_train_kernel.py): forward + custom_vjp BPTT backward
+        with all decoder weights VMEM-resident across the whole loop."""
+        from ...ops.tacotron_train_kernel import extract_decoder_params_traced
+
+        tc = self.config.tacotron
+        num_mels = self.config.audio.num_mels
+        B, T_out, _ = mel_targets.shape
+        r = tc.outputs_per_step
+        steps = T_out // r
+        T_in, M = memory.shape[1], memory.shape[2]
+
+        tf_inputs = mel_targets[:, r - 1::r, :]
+        teacher = jnp.concatenate(
+            [jnp.zeros((B, 1, num_mels), jnp.float32),
+             tf_inputs[:, :-1].astype(jnp.float32)], axis=1).transpose(1, 0, 2)
+        coins = (jax.random.uniform(self.make_rng("teacher_forcing"), (steps,))
+                 < teacher_forcing_ratio).astype(jnp.int32)
+        seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        dp = extract_decoder_params_traced(
+            {"decoder": {"cell": self.cell.variables["params"]}}, self.config)
+        fn = _fused_teacher_forced_fn(self.config, B, T_in, steps, M,
+                                      train_zoneout=train)
+        if memory_mask is None:
+            memory_mask = jnp.ones((B, T_in), bool)
+        frames, stops, aligns = fn(dp, keys.astype(jnp.float32),
+                                   memory.astype(jnp.float32), memory_mask,
+                                   teacher, coins, seed)
+        return frames, stops, aligns, None
 
     def teacher_forced(self, mel_targets, keys, memory, memory_mask,
                        teacher_forcing_ratio, *, train: bool,
@@ -198,6 +275,14 @@ class Decoder(nn.Module):
         [B, T_in, steps], alignments_emt or None).
         """
         tc = self.config.tacotron
+        if (tc.use_fused_train_decoder and not self.is_initializing()
+                and not self.config.gst.emt_attn and not tc.smoothing
+                and emt_memory is None
+                and tuple(tc.prenet_layers)
+                == (tc.prenet_layers[-1], tc.prenet_layers[-1])):
+            return self._teacher_forced_fused(
+                mel_targets, keys, memory, memory_mask,
+                teacher_forcing_ratio, train=train)
         num_mels = self.config.audio.num_mels
         B, T_out, _ = mel_targets.shape
         r = tc.outputs_per_step

@@ -48,8 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Config
-from .tacotron_decoder_kernel import (DecoderParams, _attention_operands,
-                                      _uniform_from_bits,
+from .tacotron_decoder_kernel import (DecoderParams, _uniform_from_bits,
                                       extract_decoder_params)
 
 NEG_INF = -(2.0 ** 32) + 1.0
@@ -64,44 +63,74 @@ def _pad_lanes(x, lanes: int = 128):
     return jnp.pad(x, cfg)
 
 
-def _bwd_attention_operands(dp: DecoderParams, Tp: int, dtype):
-    """Transposed attention operands for the backward chain.
+@functools.lru_cache(maxsize=8)
+def _band_selector(K: int, Tp: int):
+    """np constant [Tp*Tp, K]: Sel[s*Tp+t, k] = 1 iff s == t + k - pad.
 
-    - band_t [Tp*A, Tp]: transpose of the banded location operand, for
-      dcum = de2 @ band_t;
-    - vmat_t [Tp, Tp*A]: block-diagonal v_a transposed, turning the per-step
-      energy gradient [B, Tp] into de2's [B, Tp*A] layout in one matmul;
-    - qred [Tp*A, A]: stacked identities reducing de2 over encoder steps to
-      the query gradient.
+    Turns the banded (Toeplitz) operand construction into ONE small matmul
+    `Sel @ wp` per train step instead of K sequential [Tp,Tp,A] broadcast
+    adds — the operands depend on live params (loc conv taps, v_a) so they
+    are rebuilt inside every jitted step and must be cheap.
     """
-    A = dp.wq.shape[1]
-    wp = dp.loc_k.astype(jnp.float32) @ dp.wloc.astype(jnp.float32)   # [K, A]
-    K = wp.shape[0]
     pad = (K - 1) // 2
-    band = jnp.zeros((Tp, Tp, A), jnp.float32)
-    for k in range(K):
-        off = k - pad
-        eye = jnp.eye(Tp, Tp, off, dtype=jnp.float32)
-        band = band + eye.T[:, :, None] * wp[k][None, None, :]
-    band_t = band.reshape(Tp, Tp * A).T                               # [Tp*A, Tp]
-    vmat_t = (jnp.eye(Tp, dtype=jnp.float32)[:, None, :]
-              * dp.v_a.astype(jnp.float32)[None, :, None]
-              ).reshape(Tp * A, Tp).T                                 # [Tp, Tp*A]
-    qred = jnp.tile(jnp.eye(A, dtype=jnp.float32), (Tp, 1))           # [Tp*A, A]
-    return band_t.astype(dtype), vmat_t.astype(dtype), qred.astype(dtype)
+    s_idx = np.arange(Tp)[:, None, None]
+    t_idx = np.arange(Tp)[None, :, None]
+    k_idx = np.arange(K)[None, None, :]
+    sel = (s_idx == t_idx + k_idx - pad).astype(np.float32)
+    return sel.reshape(Tp * Tp, K)
+
+
+@functools.lru_cache(maxsize=8)
+def _eye_rep(Tp: int, A: int):
+    """np constant [Tp*A, Tp]: E[t*A+a, tau] = 1 iff t == tau."""
+    return np.repeat(np.eye(Tp, dtype=np.float32), A, axis=0)
+
+
+def make_band(dp: DecoderParams, Tp: int, dtype):
+    """Banded location operand band_a [Tp, Tp*A] (location conv FOLDED with
+    the location projection) as one MXU matmul against a cached selector."""
+    wp = dp.loc_k.astype(jnp.float32) @ dp.wloc.astype(jnp.float32)   # [K, A]
+    K, A = wp.shape
+    sel = jnp.asarray(_band_selector(K, Tp))
+    # rows s, cols (t, a) — flattening [s, t, a] directly gives the
+    # [Tp, Tp*A] layout `cum @ band` expects
+    return (sel @ wp).reshape(Tp, Tp * A).astype(dtype)
+
+
+def make_vmat(dp: DecoderParams, Tp: int, dtype):
+    """Block-diagonal v_a operand vmat [Tp*A, Tp]."""
+    A = dp.v_a.shape[0]
+    e = jnp.asarray(_eye_rep(Tp, A))                                  # [Tp*A, Tp]
+    return (e * jnp.tile(dp.v_a.astype(jnp.float32), Tp)[:, None]
+            ).astype(dtype)
+
+
+def make_keys2(dp: DecoderParams, keys_padded, dtype):
+    """Flattened keys with the attention bias (and the location-conv bias
+    routed through W_loc) pre-added: [B, Tp*A]."""
+    b_eff = (dp.b_a.astype(jnp.float32)
+             + dp.loc_b.astype(jnp.float32) @ dp.wloc.astype(jnp.float32))
+    B, Tp, A = keys_padded.shape
+    return ((keys_padded.astype(jnp.float32) + b_eff[None, None, :])
+            .reshape(B, Tp * A).astype(dtype))
 
 
 # ===================================================================== forward
 
 
 def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
-                    weight_dtype=jnp.bfloat16, interpret: bool = False):
+                    weight_dtype=jnp.bfloat16, train_zoneout: bool = True,
+                    interpret: bool = False):
     """Teacher-forced fused decode for fixed (B, T_in, steps).
 
     Returns run(dp, keys [B,T,A], memory [B,T,M], mask [B,T], teacher
     [steps,B,mels], coins [steps] int32, seed int32) -> dict of stacked
     per-step tensors (see `outs` below). `out` packs [frames | stop logits]
     per step; everything else is backward residuals.
+
+    train_zoneout=False uses the deterministic EMA zoneout mix (eval/GTA
+    semantics, modules.py ZoneoutLSTMCell eval branch) — forward-only; the
+    backward kernel assumes train-mode Bernoulli zoneout.
     """
     tc, au = cfg.tacotron, cfg.audio
     assert not cfg.gst.emt_attn, "emt_attn uses the XLA scan path"
@@ -166,7 +195,7 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                     preferred_element_type=jnp.float32) + pre_b1[:], 0.0)
         hpre = (jnp.where(u[1] < keep, h1p * (1.0 / keep), 0.0)
                 if drop > 0 else h1p)
-        if zo > 0:
+        if zo > 0 and train_zoneout:
             zbits = pltpu.bitcast(pltpu.prng_random_bits((4, B, U)), jnp.uint32)
             zu = _uniform_from_bits(zbits)
 
@@ -183,9 +212,13 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                           z1[:, 2 * U:3 * U], z1[:, 3 * U:])
         nc1 = jax.nn.sigmoid(f1) * c1s[:] + jax.nn.sigmoid(i1) * jnp.tanh(j1)
         nh1 = jax.nn.sigmoid(o1) * jnp.tanh(nc1)
-        if zo > 0:  # train zoneout: Bernoulli(1-z) select (modules.py:187-248)
+        if zo > 0 and train_zoneout:
+            # train zoneout: Bernoulli(1-z) select (modules.py:187-248)
             c1n = jnp.where(zu[0] < 1.0 - zo, nc1, c1s[:])
             h1n = jnp.where(zu[1] < 1.0 - zo, nh1, h1s[:])
+        elif zo > 0:
+            c1n = (1.0 - zo) * nc1 + zo * c1s[:]
+            h1n = (1.0 - zo) * nh1 + zo * h1s[:]
         else:
             c1n, h1n = nc1, nh1
         c1s[:] = c1n
@@ -200,9 +233,12 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                           z2[:, 2 * U:3 * U], z2[:, 3 * U:])
         nc2 = jax.nn.sigmoid(f2) * c2s[:] + jax.nn.sigmoid(i2) * jnp.tanh(j2)
         nh2 = jax.nn.sigmoid(o2) * jnp.tanh(nc2)
-        if zo > 0:
+        if zo > 0 and train_zoneout:
             c2n = jnp.where(zu[2] < 1.0 - zo, nc2, c2s[:])
             h2n = jnp.where(zu[3] < 1.0 - zo, nh2, h2s[:])
+        elif zo > 0:
+            c2n = (1.0 - zo) * nc2 + zo * c2s[:]
+            h2n = (1.0 - zo) * nh2 + zo * h2s[:]
         else:
             c2n, h2n = nc2, nh2
         c2s[:] = c2n
@@ -308,8 +344,9 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         if mask is None:
             mask = jnp.ones((B, T_in), bool)
         mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
-        band_a, vmat, keys2 = _attention_operands(dp, keys, Tp, wd)
-        keys2 = keys2.astype(jnp.float32)
+        band_a = make_band(dp, Tp, wd)
+        vmat = make_vmat(dp, Tp, wd)
+        keys2 = make_keys2(dp, keys, jnp.float32)
         mem2 = memory.reshape(B * Tp, M).astype(wd)
         teacher = _pad_lanes(teacher.astype(jnp.float32))
         weights = (
@@ -565,10 +602,9 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         """res: dict from build_train_fwd's run; memory_padded [B,Tp,M] f32;
         dout [S,B,FOp] f32; dalign_up [S,B,Tp] f32."""
         wd = weight_dtype
-        band_a, _, keys2 = _attention_operands(
-            dp, jnp.zeros((B, Tp, A), jnp.float32), Tp, wd)
-        del keys2  # caller passes the real keys2 via res["keys2"]
-        band_t, vmat_t, _ = _bwd_attention_operands(dp, Tp, wd)
+        band_a = make_band(dp, Tp, wd)
+        band_t = band_a.T.astype(wd)
+        vmat_t = make_vmat(dp, Tp, wd).T.astype(wd)
         memt = memory_padded.reshape(B * Tp, M).T.astype(wd)   # [M, B*Tp]
         weights = (
             res["keys2"], memt, band_a, band_t, vmat_t,
@@ -760,8 +796,7 @@ def make_fused_teacher_forced(cfg: Config, B: int, T_in: int, steps: int,
                          ((0, 0), (0, Tp - T_in), (0, 0)))
         mem_p = jnp.pad(memory.astype(jnp.float32),
                         ((0, 0), (0, Tp - T_in), (0, 0)))
-        _, _, keys2 = _attention_operands(dp, keys_p, Tp, weight_dtype)
-        res["keys2"] = keys2.astype(jnp.float32)
+        res["keys2"] = make_keys2(dp, keys_p, jnp.float32)
         saved = (dp, res, keys_p, mem_p, mask, teacher, coins, seed)
         return _assemble(res["out"], res["align"]), saved
 
