@@ -409,7 +409,7 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                pre_w0T, pre_w1T, proj_woT, proj_wcT,
                # blocked outputs
                dz1_ref, dz2_ref, da0_ref, da1_ref, dproj_ref,
-               dctx_ref, denergy_ref,
+               dctx_ref, denergy_ref, e2_ref, dq_ref, dkeys_ref,
                # scratch
                dh1, dc1, dh2, dc2, dctx_c, dcum_c, dxprev):
         g = pl.program_id(0)
@@ -417,6 +417,7 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
 
         @pl.when(g == 0)
         def _init():
+            dkeys_ref[:] = jnp.zeros((B, Tp * A), jnp.float32)
             dh1[:] = jnp.zeros((B, U), jnp.float32)
             dc1[:] = jnp.zeros((B, U), jnp.float32)
             dh2[:] = jnp.zeros((B, U), jnp.float32)
@@ -452,8 +453,13 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         # ---- attention backward
         # dalign from context: per-row contraction vs memory, via the
         # block-masked full matmul + a B-block fold
-        dablk = jnp.dot(dctx_t.astype(weight_dtype), memt_ref[:],
-                        preferred_element_type=jnp.float32)    # [B, B*Tp]
+        # contract over M against the UNtransposed memory operand ((m,k) x
+        # (n,k) dot_general) — avoids a 3.8 ms [B*Tp, M] XLA transpose per
+        # train step
+        dablk = jax.lax.dot_general(
+            dctx_t.astype(weight_dtype), memt_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [B, B*Tp]
         col_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 1) // Tp
         row_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 0)
         masked = jnp.where(col_b == row_b, dablk, 0.0)
@@ -473,10 +479,13 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                       preferred_element_type=jnp.float32)
         e2 = jnp.tanh(keys_ref[:].astype(jnp.float32)
                       + pltpu.repeat(q, Tp, axis=1) + loc)
+        e2_ref[0] = e2.astype(e2_ref.dtype)
         de2 = (jnp.dot(denergy.astype(weight_dtype), vmat_t_ref[:],
                        preferred_element_type=jnp.float32)
                * (1.0 - e2 * e2))                              # [B, Tp*A]
+        dkeys_ref[:] += de2
         dq = jnp.sum(de2.reshape(B, Tp, A), axis=1)            # [B, A]
+        dq_ref[0] = dq.astype(dq_ref.dtype)
         dh2_att = jnp.dot(dq.astype(weight_dtype), wq_t[:],
                           preferred_element_type=jnp.float32)  # [B, U]
         dcum_c[:] = dcum_c[:] + jnp.dot(de2.astype(weight_dtype),
@@ -569,14 +578,26 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         dz1=((S, B, 4 * U), res_dt), dz2=((S, B, 4 * U), res_dt),
         da0=((S, B, P), res_dt), da1=((S, B, P), res_dt),
         dproj=((S, B, FOp), res_dt), dctx=((S, B, M), res_dt),
-        denergy=((S, B, Tp), jnp.float32))
+        denergy=((S, B, Tp), jnp.float32),
+        # the recomputed energy tanh, re-emitted so the XLA attention-param
+        # pass (weight_grads) needs NO second full e2 recompute — the pass
+        # was measured HBM-bound at ~19 ms/step without it
+        e2=((S, B, Tp * A), res_dt),
+        # query grads per step + the keys gradient accumulated ACROSS steps
+        # in VMEM (constant-index output: Pallas flushes it once at grid
+        # end) — two fewer [S,B,Tp*A] consumers in the XLA pass
+        dq=((S, B, A), res_dt),
+        dkeys2=((B, Tp * A), jnp.float32))
     names = list(out_shapes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(S,),
         in_specs=in_specs,
-        out_specs=[rev(*out_shapes[n][0][1:]) for n in names],
+        out_specs=[(rev(*out_shapes[n][0][1:]) if n != "dkeys2" else
+                    pl.BlockSpec((B, Tp * A), lambda g, *_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+                   for n in names],
         scratch_shapes=[
             pltpu.VMEM((B, U), jnp.float32),      # dh1
             pltpu.VMEM((B, U), jnp.float32),      # dc1
@@ -605,7 +626,7 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         band_a = make_band(dp, Tp, wd)
         band_t = band_a.T.astype(wd)
         vmat_t = make_vmat(dp, Tp, wd).T.astype(wd)
-        memt = memory_padded.reshape(B * Tp, M).T.astype(wd)   # [M, B*Tp]
+        memt = memory_padded.reshape(B * Tp, M).astype(wd)     # [B*Tp, M]
         weights = (
             res["keys2"], memt, band_a, band_t, vmat_t,
             dp.wq.astype(wd), dp.wq.T.astype(wd),
@@ -681,18 +702,18 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     d_proj_wc = ein("sbm,sbf->mf", _f32(res["ctx"]), dproj)
     d_proj_b = dproj.sum((0, 1))
 
-    # ---- attention parameters: recompute e2 per chunk of steps (the only
-    # non-saved intermediate), then contract. ~1 fwd-attention's FLOPs total.
+    # ---- attention parameters from the bwd kernel's re-emitted e2 (no
+    # second full recompute — the pass was HBM-bound without it). Chunked
+    # over steps to bound the de2 materialization.
     wq = _f32(dp.wq)
     wloc = _f32(dp.wloc)
     v_a = _f32(dp.v_a)
-    b_eff = _f32(dp.b_a) + _f32(dp.loc_b) @ wloc
-    loc_k3 = _f32(dp.loc_k)[:, None, :]                       # [K, 1, F]
-
-    def conv_cum(lk, cum_flat):
-        return jax.lax.conv_general_dilated(
-            cum_flat[:, :, None], lk, (1,), "SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"))          # [N, Tp, F]
+    loc_k = _f32(dp.loc_k)                                    # [K, F]
+    K, F = loc_k.shape
+    # channel-1 convolutions lower poorly on TPU; the cached banded selector
+    # (same one the kernels use) turns conv-fwd and conv-filter-grad into
+    # two MXU matmuls
+    sel = jnp.asarray(_band_selector(K, Tp))                  # [Tp*Tp, K]
 
     denergy = bwd["denergy"]                                  # [S,B,Tp] f32
     Sc = max(1, chunk)
@@ -701,43 +722,42 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     def padS(x):
         return jnp.concatenate([x, jnp.zeros((pad_s,) + x.shape[1:],
                                              x.dtype)], 0) if pad_s else x
+    cdt = bwd["e2"].dtype   # residual precision (bf16 prod / f32 exact)
     cum_s = padS(res["cum_pre"]).reshape(n_chunks, Sc, B, Tp)
-    den_s = padS(denergy).reshape(n_chunks, Sc, B, Tp)
-    h2_s = padS(_f32(res["h2"])).reshape(n_chunks, Sc, B, U)
+    den_s = padS(denergy.astype(cdt)).reshape(n_chunks, Sc, B, Tp)
+    e2_s = padS(bwd["e2"]).reshape(n_chunks, Sc, B, Tp, A)
+
+    # dkeys / dq / d_beff come straight from the kernel's own accumulations
+    dkeys = bwd["dkeys2"].reshape(B, Tp, A)
+    d_beff = dkeys.sum((0, 1))
+    d_wq = ein("sbu,sba->ua", _f32(res["h2"]), _f32(bwd["dq"]))
+
+    bandF = (sel @ loc_k).reshape(Tp, Tp * F).astype(cdt)     # [s, (t,f)]
 
     def chunk_fn(carry, sl):
-        d_wq, d_v, d_wloc, d_lk, d_beff, dkeys = carry
-        cum_c, den_c, h2_c = sl
-        q = ein("nbu,ua->nba", h2_c, wq)                      # [Sc,B,A]
-        f = conv_cum(loc_k3, cum_c.reshape(Sc * B, Tp))       # [Sc*B,Tp,F]
-        loc3 = ein("ntf,fa->nta", f, wloc).reshape(Sc, B, Tp, A)
-        e2 = jnp.tanh(keys_padded[None] + q[:, :, None, :] + loc3
-                      + b_eff[None, None, None, :])
+        d_v, d_wloc, d_lk = carry
+        cum_c, den_c, e2 = sl
+        cum_f = cum_c.reshape(Sc * B, Tp).astype(cdt)
+        f = (cum_f @ bandF).reshape(Sc * B, Tp, F)            # loc conv fwd
         d_v = d_v + ein("nbta,nbt->a", e2, den_c)
-        de2 = den_c[..., None] * v_a * (1.0 - e2 * e2)        # [Sc,B,Tp,A]
-        d_wq = d_wq + ein("nbu,nba->ua", h2_c, de2.sum(axis=2))
-        dkeys = dkeys + de2.sum(0)                            # [B,Tp,A]
-        d_beff = d_beff + de2.sum((0, 1, 2))
-        de2f = de2.reshape(Sc * B, Tp, A)
-        d_wloc = d_wloc + ein("ntf,nta->fa", f, de2f)
-        df = ein("nta,fa->ntf", de2f, wloc)
-        # conv filter grad: correlate cum with df
-        _, conv_vjp = jax.vjp(lambda lk: conv_cum(lk, cum_c.reshape(Sc * B, Tp)),
-                              loc_k3)
-        d_lk = d_lk + conv_vjp(df)[0]
-        return (d_wq, d_v, d_wloc, d_lk, d_beff, dkeys), None
+        de2 = (den_c[..., None] * v_a.astype(cdt)
+               * (1.0 - e2 * e2)).reshape(Sc * B, Tp, A)      # [Sc*B,Tp,A]
+        d_wloc = d_wloc + ein("ntf,nta->fa", f, de2)
+        df = ein("nta,fa->ntf", de2, wloc.astype(cdt))
+        # conv filter grad as two contractions against the selector
+        g = ein("ns,ntf->stf", cum_f, df).reshape(Tp * Tp, F)
+        d_lk = d_lk + sel.T @ g
+        return (d_v, d_wloc, d_lk), None
 
-    init = (jnp.zeros_like(wq), jnp.zeros_like(v_a), jnp.zeros_like(wloc),
-            jnp.zeros_like(loc_k3), jnp.zeros_like(b_eff),
-            jnp.zeros((B, Tp, A), jnp.float32))
-    (d_wq2, d_v_a, d_wloc, d_loc_k3, d_beff, dkeys), _ = jax.lax.scan(
-        chunk_fn, init, (cum_s, den_s, h2_s))
-    d_wq = d_wq2
+    init = (jnp.zeros_like(v_a), jnp.zeros_like(wloc),
+            jnp.zeros_like(loc_k))
+    (d_v_a, d_wloc, d_loc_k3), _ = jax.lax.scan(
+        chunk_fn, init, (cum_s, den_s, e2_s))
     # b_eff = b_a + loc_b @ wloc: route the bias gradient through the fold
     d_b_a = d_beff
     d_loc_b = d_beff @ wloc.T
     d_wloc = d_wloc + jnp.outer(_f32(dp.loc_b), d_beff)
-    d_loc_k = d_loc_k3[:, 0, :]
+    d_loc_k = d_loc_k3
 
     # ---- memory grad (context formation only; keys handled above)
     dctx = _f32(bwd["dctx"])                                  # [S,B,M]
