@@ -202,7 +202,8 @@ def main():
         # Tacotron: fused Pallas teacher-forced decoder (fwd + custom_vjp
         # BPTT bwd, ops/tacotron_train_kernel.py) — the measured-best config
         tfu = cfg.replace(tacotron=dataclasses.replace(
-            cfg.tacotron, use_fused_train_decoder=True))
+            cfg.tacotron, use_fused_train_decoder=True,
+            compute_dtype="bfloat16"))
         wbf = cfg.replace(wavenet=dataclasses.replace(
             cfg.wavenet, compute_dtype="bfloat16"))
         tt = bench_tacotron_train(tfu, 96, 400, 10)
@@ -210,7 +211,8 @@ def main():
         train_detail = {
             "tacotron_train_audio_s_per_s": round(tt["audio_s_per_s"], 1),
             "tacotron_train_ms_per_step": round(tt["ms_per_step"], 1),
-            "tacotron_train_decoder": "fused Pallas fwd+bwd (B=96)",
+            "tacotron_train_decoder":
+                "fused Pallas fwd+bwd (B=96, bf16 conv stacks)",
             "wavenet_train_audio_s_per_s": round(wt["audio_s_per_s"], 1),
             "wavenet_train_ms_per_step": round(wt["ms_per_step"], 1),
         }

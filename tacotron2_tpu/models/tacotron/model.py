@@ -80,9 +80,14 @@ class Tacotron(nn.Module):
 
         self.embedding = nn.Embed(len(symbols), tc.embedding_dim,
                                   embedding_init=glorot, name="inputs_embedding")
+        # under mixed precision the conv stacks run their matmuls in bf16
+        # (BatchNorm statistics stay f32) — the postnet alone is ~20 ms/step
+        # of f32 conv at B=96x400 frames
+        conv_dtype = (jnp.bfloat16 if tc.compute_dtype == "bfloat16"
+                      else None)
         self.encoder_conv = EncoderConvStack(
             tc.enc_conv_num_layers, tc.enc_conv_channels, tc.enc_conv_kernel_size,
-            tc.dropout_rate, tc.batch_norm_position)
+            tc.dropout_rate, tc.batch_norm_position, dtype=conv_dtype)
         self.encoder_lstm = BiLSTMEncoder(tc.encoder_lstm_units, tc.zoneout_rate)
 
         if gst.adain:
@@ -114,7 +119,7 @@ class Tacotron(nn.Module):
         self.decoder = Decoder(cfg)
         self.postnet = Postnet(tc.postnet_num_layers, tc.postnet_channels,
                                tc.postnet_kernel_size, tc.dropout_rate,
-                               tc.batch_norm_position)
+                               tc.batch_norm_position, dtype=conv_dtype)
         self.postnet_projection = FrameProjection(cfg.audio.num_mels,
                                                   name="postnet_projection")
 

@@ -39,12 +39,15 @@ class ConvBlock(nn.Module):
     activation: Optional[Callable] = nn.relu
     drop_rate: float = 0.5
     bnorm: str = "after"
+    # compute dtype for the conv matmuls (bf16 under mixed precision);
+    # BatchNorm statistics/normalization stay float32 either way
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         act = self.activation if self.activation is not None else (lambda v: v)
         h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
-                    kernel_init=glorot)(x)
+                    kernel_init=glorot, dtype=self.dtype)(x)
         if self.bnorm == "after":
             h = act(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
@@ -66,12 +69,14 @@ class EncoderConvStack(nn.Module):
     kernel_size: int = 5
     drop_rate: float = 0.5
     bnorm: str = "after"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for _ in range(self.num_layers):
             x = ConvBlock(self.channels, self.kernel_size, nn.relu,
-                          self.drop_rate, self.bnorm)(x, train=train)
+                          self.drop_rate, self.bnorm,
+                          dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -252,14 +257,17 @@ class Postnet(nn.Module):
     kernel_size: int = 5
     drop_rate: float = 0.5
     bnorm: str = "after"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for _ in range(self.num_layers - 1):
             x = ConvBlock(self.channels, self.kernel_size, jnp.tanh,
-                          self.drop_rate, self.bnorm)(x, train=train)
+                          self.drop_rate, self.bnorm,
+                          dtype=self.dtype)(x, train=train)
         x = ConvBlock(self.channels, self.kernel_size, None,
-                      self.drop_rate, self.bnorm)(x, train=train)
+                      self.drop_rate, self.bnorm,
+                      dtype=self.dtype)(x, train=train)
         return x
 
 

@@ -54,6 +54,16 @@ from .tacotron_decoder_kernel import (DecoderParams, _uniform_from_bits,
 NEG_INF = -(2.0 ** 32) + 1.0
 
 
+def _ctx_group(B: int) -> int:
+    """Row-group size for the block-masked context matmuls: the largest
+    divisor of B that is <= 8 (8 rows keep the MXU dispatch worthwhile while
+    wasting only 8x the useful context FLOPs instead of Bx)."""
+    for g in (8, 6, 4, 3, 2, 1):
+        if B % g == 0:
+            return g
+    return 1
+
+
 def _pad_lanes(x, lanes: int = 128):
     """Pad the minor dim up to a lane multiple."""
     pad = (-x.shape[-1]) % lanes
@@ -261,13 +271,21 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         align = ex / jnp.sum(ex, axis=-1, keepdims=True)
         cums[:] = cum_now + align
 
-        # context as one block-masked matmul (iota mask, no operand)
-        a_rep = pltpu.repeat(align, B, axis=1)                    # [B, B*Tp]
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 1) // Tp
-        row_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 0)
-        ablk = jnp.where(col_b == row_b, a_rep, 0.0).astype(weight_dtype)
-        new_ctx = jnp.dot(ablk, mem_ref[:],
-                          preferred_element_type=jnp.float32)     # [B, M]
+        # context as GROUPED block-masked matmuls: g rows at a time against
+        # that group's [g*Tp, M] memory slab — the full-B version wastes B x
+        # the useful FLOPs (3.6 GF/step at B=96 vs 37 MF useful)
+        g = _ctx_group(B)
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 1) // Tp
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 0)
+        parts = []
+        for i in range(B // g):
+            a_g = align[i * g:(i + 1) * g]
+            a_rep = pltpu.repeat(a_g, g, axis=1)                  # [g, g*Tp]
+            ablk = jnp.where(col_g == row_g, a_rep, 0.0).astype(weight_dtype)
+            parts.append(jnp.dot(
+                ablk, mem_ref[i * g * Tp:(i + 1) * g * Tp, :],
+                preferred_element_type=jnp.float32))              # [g, M]
+        new_ctx = jnp.concatenate(parts, axis=0)                  # [B, M]
         ctxs[:] = new_ctx
 
         # ---- fused frame+stop projection (LOGITS for training)
@@ -453,17 +471,22 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         # ---- attention backward
         # dalign from context: per-row contraction vs memory, via the
         # block-masked full matmul + a B-block fold
-        # contract over M against the UNtransposed memory operand ((m,k) x
-        # (n,k) dot_general) — avoids a 3.8 ms [B*Tp, M] XLA transpose per
-        # train step
-        dablk = jax.lax.dot_general(
-            dctx_t.astype(weight_dtype), memt_ref[:],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [B, B*Tp]
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 1) // Tp
-        row_b = jax.lax.broadcasted_iota(jnp.int32, (B, B * Tp), 0)
-        masked = jnp.where(col_b == row_b, dablk, 0.0)
-        dalign = jnp.sum(masked.reshape(B, B, Tp), axis=1)     # [B, Tp]
+        # dalign = per-row contraction of dctx against memory, as GROUPED
+        # (m,k)x(n,k) dot_generals over the group's memory slab (no XLA
+        # transpose, B/g x less FLOP waste than the full-B block matmul)
+        g = _ctx_group(B)
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 1) // Tp
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 0)
+        dparts = []
+        for i in range(B // g):
+            dablk = jax.lax.dot_general(
+                dctx_t[i * g:(i + 1) * g].astype(weight_dtype),
+                memt_ref[i * g * Tp:(i + 1) * g * Tp, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [g, g*Tp]
+            masked = jnp.where(col_g == row_g, dablk, 0.0)
+            dparts.append(jnp.sum(masked.reshape(g, g, Tp), axis=1))
+        dalign = jnp.concatenate(dparts, axis=0)               # [B, Tp]
         dalign = dalign + dalign_up_ref[0] + dcum_c[:]
 
         align = align_ref[0]                                   # [B, Tp] f32
@@ -677,30 +700,33 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
 
     ein = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
 
-    # ---- prenet
+    # ---- prenet (GEMM operands stay in the residual precision — bf16 in
+    # production — with f32 accumulation via preferred_element_type)
+    rdt = res["h0d"].dtype
     prev_frames = shift1(res["out"][:, :, (r - 1) * mels:r * mels])
-    x_in = jnp.where((coins > 0)[:, None, None], teacher, prev_frames)
-    da0, da1 = _f32(bwd["da0"]), _f32(bwd["da1"])
+    x_in = jnp.where((coins > 0)[:, None, None], teacher,
+                     prev_frames).astype(rdt)
+    da0, da1 = bwd["da0"], bwd["da1"]
     d_pre_w0 = ein("sbm,sbp->mp", x_in, da0)
-    d_pre_b0 = da0.sum((0, 1))
-    d_pre_w1 = ein("sbp,sbq->pq", _f32(res["h0d"]), da1)
-    d_pre_b1 = da1.sum((0, 1))
+    d_pre_b0 = _f32(da0).sum((0, 1))
+    d_pre_w1 = ein("sbp,sbq->pq", res["h0d"], da1)
+    d_pre_b1 = _f32(da1).sum((0, 1))
 
     # ---- LSTMs (x1 = [hpre | ctx_prev | h1_prev], x2 = [h1 | h2_prev])
-    dz1, dz2 = _f32(bwd["dz1"]), _f32(bwd["dz2"])
-    d_l1_wp = ein("sbp,sbk->pk", _f32(res["hpre"]), dz1)
-    d_l1_wc = ein("sbm,sbk->mk", shift1(_f32(res["ctx"])), dz1)
-    d_l1_wh = ein("sbu,sbk->uk", shift1(_f32(res["h1"])), dz1)
-    d_l1_b = dz1.sum((0, 1))
-    d_l2_wx = ein("sbu,sbk->uk", _f32(res["h1"]), dz2)
-    d_l2_wh = ein("sbu,sbk->uk", shift1(_f32(res["h2"])), dz2)
-    d_l2_b = dz2.sum((0, 1))
+    dz1, dz2 = bwd["dz1"], bwd["dz2"]
+    d_l1_wp = ein("sbp,sbk->pk", res["hpre"], dz1)
+    d_l1_wc = ein("sbm,sbk->mk", shift1(res["ctx"]), dz1)
+    d_l1_wh = ein("sbu,sbk->uk", shift1(res["h1"]), dz1)
+    d_l1_b = _f32(dz1).sum((0, 1))
+    d_l2_wx = ein("sbu,sbk->uk", res["h1"], dz2)
+    d_l2_wh = ein("sbu,sbk->uk", shift1(res["h2"]), dz2)
+    d_l2_b = _f32(dz2).sum((0, 1))
 
     # ---- projections (input [h2 | ctx]); dproj includes the feedback grad
-    dproj = _f32(bwd["dproj"])[:, :, :FO]
-    d_proj_wo = ein("sbu,sbf->uf", _f32(res["h2"]), dproj)
-    d_proj_wc = ein("sbm,sbf->mf", _f32(res["ctx"]), dproj)
-    d_proj_b = dproj.sum((0, 1))
+    dproj = bwd["dproj"][:, :, :FO]
+    d_proj_wo = ein("sbu,sbf->uf", res["h2"], dproj)
+    d_proj_wc = ein("sbm,sbf->mf", res["ctx"], dproj)
+    d_proj_b = _f32(dproj).sum((0, 1))
 
     # ---- attention parameters from the bwd kernel's re-emitted e2 (no
     # second full recompute — the pass was HBM-bound without it). Chunked
@@ -730,7 +756,7 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     # dkeys / dq / d_beff come straight from the kernel's own accumulations
     dkeys = bwd["dkeys2"].reshape(B, Tp, A)
     d_beff = dkeys.sum((0, 1))
-    d_wq = ein("sbu,sba->ua", _f32(res["h2"]), _f32(bwd["dq"]))
+    d_wq = ein("sbu,sba->ua", res["h2"], bwd["dq"])
 
     bandF = (sel @ loc_k).reshape(Tp, Tp * F).astype(cdt)     # [s, (t,f)]
 
@@ -760,8 +786,8 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     d_loc_k = d_loc_k3
 
     # ---- memory grad (context formation only; keys handled above)
-    dctx = _f32(bwd["dctx"])                                  # [S,B,M]
-    dmem = ein("sbt,sbm->btm", res["align"], dctx)            # [B,Tp,M]
+    dmem = ein("sbt,sbm->btm", res["align"].astype(rdt),
+               bwd["dctx"])                                   # [B,Tp,M]
 
     d_dp = DecoderParams(
         pre_w0=d_pre_w0, pre_b0=d_pre_b0, pre_w1=d_pre_w1, pre_b1=d_pre_b1,
