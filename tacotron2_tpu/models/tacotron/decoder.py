@@ -253,10 +253,43 @@ class Decoder(nn.Module):
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         dp = extract_decoder_params_traced(
             {"decoder": {"cell": self.cell.variables["params"]}}, self.config)
-        fn = _fused_teacher_forced_fn(self.config, B, T_in, steps, M,
-                                      train_zoneout=train)
         if memory_mask is None:
             memory_mask = jnp.ones((B, T_in), bool)
+
+        # multi-chip: under an active ('data', ...) mesh, run the kernel
+        # per-shard via shard_map — batch rows split over 'data', params
+        # replicated (shard_map's transpose psums their cotangents, which IS
+        # the gradient all-reduce), per-shard PRNG decorrelated by axis index
+        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        ndata = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1) \
+            if not mesh.empty else 1
+        # TPU only: the interpret-mode kernel (CPU tests / virtual meshes)
+        # does not run under shard_map — multi-device CPU falls back to the
+        # scan path via teacher_forced's eligibility check
+        if ndata > 1 and B % ndata == 0 and jax.default_backend() == "tpu":
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = _fused_teacher_forced_fn(self.config, B // ndata, T_in,
+                                          steps, M, train_zoneout=train)
+
+            def body(dp, k, m, msk, te, co, se):
+                se = se + jax.lax.axis_index("data").astype(jnp.int32)
+                return fn(dp, k, m, msk, te, co, se)
+
+            sharded = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"),
+                          P(None, "data"), P(), P()),
+                out_specs=(P("data"), P("data"), P("data")),
+                check_rep=False)
+            frames, stops, aligns = sharded(
+                dp, keys.astype(jnp.float32), memory.astype(jnp.float32),
+                memory_mask, teacher, coins, seed)
+            return frames, stops, aligns, None
+
+        fn = _fused_teacher_forced_fn(self.config, B, T_in, steps, M,
+                                      train_zoneout=train)
         frames, stops, aligns = fn(dp, keys.astype(jnp.float32),
                                    memory.astype(jnp.float32), memory_mask,
                                    teacher, coins, seed)
@@ -275,9 +308,13 @@ class Decoder(nn.Module):
         [B, T_in, steps], alignments_emt or None).
         """
         tc = self.config.tacotron
+        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        ndata = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1) \
+            if not mesh.empty else 1
         if (tc.use_fused_train_decoder and not self.is_initializing()
                 and not self.config.gst.emt_attn and not tc.smoothing
                 and emt_memory is None
+                and (ndata == 1 or jax.default_backend() == "tpu")
                 and tuple(tc.prenet_layers)
                 == (tc.prenet_layers[-1], tc.prenet_layers[-1])):
             return self._teacher_forced_fused(
