@@ -119,6 +119,10 @@ def main(argv=None):
                    help="disable bf16 mixed precision (WaveNet residual "
                         "stack / Tacotron decode scan); measured best: "
                         "bf16 WaveNet B=16 (1.4x f32) and bf16 Tacotron")
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas teacher-forced decoder "
+                        "(tacotron.use_fused_train_decoder) — the "
+                        "measured-best production config, what bench.py runs")
     args = p.parse_args(argv)
 
     _enable_compile_cache()
@@ -132,6 +136,9 @@ def main(argv=None):
                                         compute_dtype="bfloat16"),
             tacotron=dataclasses.replace(cfg.tacotron,
                                          compute_dtype="bfloat16"))
+    if args.fused:
+        cfg = cfg.replace(tacotron=dataclasses.replace(
+            cfg.tacotron, use_fused_train_decoder=True))
 
     results = []
     if args.model in ("tacotron", "both"):

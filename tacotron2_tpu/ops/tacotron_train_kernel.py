@@ -422,12 +422,12 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                c1_prev_res, c2_prev_res,
                # constant operands
                keys_ref, memt_ref, band_ref, band_t_ref, vmat_t_ref,
-               wq, wq_t,
+               eyerep_t_ref, wq, wq_t,
                l1_wpT, l1_wcT, l1_whT, l2_wxT, l2_whT,
                pre_w0T, pre_w1T, proj_woT, proj_wcT,
                # blocked outputs
                dz1_ref, dz2_ref, da0_ref, da1_ref, dproj_ref,
-               dctx_ref, denergy_ref, e2_ref, dq_ref, dkeys_ref,
+               dctx_ref, dq_ref, dkeys_ref, t1_ref, dv_ref,
                # scratch
                dh1, dc1, dh2, dc2, dctx_c, dcum_c, dxprev):
         g = pl.program_id(0)
@@ -436,6 +436,8 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         @pl.when(g == 0)
         def _init():
             dkeys_ref[:] = jnp.zeros((B, Tp * A), jnp.float32)
+            t1_ref[:] = jnp.zeros((Tp, Tp * A), jnp.float32)
+            dv_ref[:] = jnp.zeros((8, Tp * A), jnp.float32)
             dh1[:] = jnp.zeros((B, U), jnp.float32)
             dc1[:] = jnp.zeros((B, U), jnp.float32)
             dh2[:] = jnp.zeros((B, U), jnp.float32)
@@ -492,7 +494,6 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         align = align_ref[0]                                   # [B, Tp] f32
         dots = jnp.sum(dalign * align, axis=-1, keepdims=True)
         denergy = align * (dalign - dots)
-        denergy_ref[0] = denergy
 
         # e2 recompute (the only non-saved intermediate: [B, Tp*A]/step is
         # too large to stream; recompute costs one fwd-loc matmul)
@@ -502,11 +503,27 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                       preferred_element_type=jnp.float32)
         e2 = jnp.tanh(keys_ref[:].astype(jnp.float32)
                       + pltpu.repeat(q, Tp, axis=1) + loc)
-        e2_ref[0] = e2.astype(e2_ref.dtype)
         de2 = (jnp.dot(denergy.astype(weight_dtype), vmat_t_ref[:],
                        preferred_element_type=jnp.float32)
                * (1.0 - e2 * e2))                              # [B, Tp*A]
         dkeys_ref[:] += de2
+
+        # ---- attention-parameter accumulators (in-VMEM across the grid;
+        # replaces the XLA chunk scan that streamed [S,B,Tp*A] e2/de2
+        # tensors (~630 MB/step at B=96) through HBM):
+        #   T1[u, t*A+a] += sum_b cum[b,u] * de2[b, t*A+a]
+        #     -> outside: d_wloc = ein('utf,uta->fa', bandF, T1) and
+        #        d_loc_k via the banded selector (see weight_grads)
+        #   dv[t*A+a]    += sum_b e2[b, t*A+a] * denergy[b, t]
+        #     -> outside: d_v_a = dv.reshape(Tp, A).sum(0)
+        t1_ref[:] += jax.lax.dot_general(
+            cum_ref[0].astype(weight_dtype), de2.astype(weight_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [Tp, Tp*A]
+        den_rep = jnp.dot(denergy.astype(weight_dtype), eyerep_t_ref[:],
+                          preferred_element_type=jnp.float32)  # [B, Tp*A]
+        dv_ref[:] += jnp.broadcast_to(
+            jnp.sum(e2 * den_rep, axis=0, keepdims=True), (8, Tp * A))
         dq = jnp.sum(de2.reshape(B, Tp, A), axis=1)            # [B, A]
         dq_ref[0] = dq.astype(dq_ref.dtype)
         dh2_att = jnp.dot(dq.astype(weight_dtype), wq_t[:],
@@ -596,29 +613,30 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
     in_specs = ([rev(B, FOp), rev(B, Tp), rev(B, Tp), rev(B, Tp),
                  rev(B, 4 * U), rev(B, 4 * U), rev(B, P), rev(B, P),
                  rev(B, U), rev_prev(B, U), rev_prev(B, U)]
-                + [const] * 16)
+                + [const] * 17)
+    # dkeys2/t1/dv are accumulated ACROSS steps in VMEM (constant-index
+    # outputs: Pallas flushes them once at grid end) — together with the
+    # per-step dq they carry everything the XLA attention-param pass needs,
+    # so no [S,B,Tp*A]-sized tensor (e2/de2, ~630 MB at B=96/S=200) ever
+    # touches HBM
+    accum_shapes = {"dkeys2": (B, Tp * A), "t1": (Tp, Tp * A),
+                    "dv": (8, Tp * A)}
     out_shapes = dict(
         dz1=((S, B, 4 * U), res_dt), dz2=((S, B, 4 * U), res_dt),
         da0=((S, B, P), res_dt), da1=((S, B, P), res_dt),
         dproj=((S, B, FOp), res_dt), dctx=((S, B, M), res_dt),
-        denergy=((S, B, Tp), jnp.float32),
-        # the recomputed energy tanh, re-emitted so the XLA attention-param
-        # pass (weight_grads) needs NO second full e2 recompute — the pass
-        # was measured HBM-bound at ~19 ms/step without it
-        e2=((S, B, Tp * A), res_dt),
-        # query grads per step + the keys gradient accumulated ACROSS steps
-        # in VMEM (constant-index output: Pallas flushes it once at grid
-        # end) — two fewer [S,B,Tp*A] consumers in the XLA pass
         dq=((S, B, A), res_dt),
-        dkeys2=((B, Tp * A), jnp.float32))
+        dkeys2=((B, Tp * A), jnp.float32),
+        t1=((Tp, Tp * A), jnp.float32),
+        dv=((8, Tp * A), jnp.float32))
     names = list(out_shapes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(S,),
         in_specs=in_specs,
-        out_specs=[(rev(*out_shapes[n][0][1:]) if n != "dkeys2" else
-                    pl.BlockSpec((B, Tp * A), lambda g, *_: (0, 0),
+        out_specs=[(rev(*out_shapes[n][0][1:]) if n not in accum_shapes else
+                    pl.BlockSpec(accum_shapes[n], lambda g, *_: (0, 0),
                                  memory_space=pltpu.VMEM))
                    for n in names],
         scratch_shapes=[
@@ -649,9 +667,12 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         band_a = make_band(dp, Tp, wd)
         band_t = band_a.T.astype(wd)
         vmat_t = make_vmat(dp, Tp, wd).T.astype(wd)
+        # R[tau, t*A+a] = 1 iff t == tau — `den @ R` broadcasts the energy
+        # grad across the A lanes of each t block (for the dv accumulator)
+        eyerep_t = jnp.asarray(_eye_rep(Tp, A).T).astype(wd)
         memt = memory_padded.reshape(B * Tp, M).astype(wd)     # [B*Tp, M]
         weights = (
-            res["keys2"], memt, band_a, band_t, vmat_t,
+            res["keys2"], memt, band_a, band_t, vmat_t, eyerep_t,
             dp.wq.astype(wd), dp.wq.T.astype(wd),
             dp.l1_wp.T.astype(wd), dp.l1_wc.T.astype(wd), dp.l1_wh.T.astype(wd),
             dp.l2_wx.T.astype(wd), dp.l2_wh.T.astype(wd),
@@ -677,7 +698,7 @@ def _f32(x):
 
 
 def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
-                 keys_padded, teacher, coins, *, chunk: int = 16):
+                 keys_padded, teacher, coins):
     """All parameter gradients + dkeys/dmemory as big XLA contractions over
     the stacked per-step tensors. Everything here is trivially parallel over
     (step, batch) — exactly what the sequential kernel should NOT compute.
@@ -728,62 +749,37 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     d_proj_wc = ein("sbm,sbf->mf", res["ctx"], dproj)
     d_proj_b = _f32(dproj).sum((0, 1))
 
-    # ---- attention parameters from the bwd kernel's re-emitted e2 (no
-    # second full recompute — the pass was HBM-bound without it). Chunked
-    # over steps to bound the de2 materialization.
-    wq = _f32(dp.wq)
+    # ---- attention parameters from the bwd kernel's in-VMEM accumulators
+    # (t1/dv/dkeys2/dq): nothing [S,B,Tp*A]-sized is ever materialized.
+    #   t1[u, t*A+a] = sum_{s,b} cum[s,b,u] * de2[s,b,t,a]
+    #   dv[t*A+a]    = sum_{s,b} e2[s,b,t,a] * denergy[s,b,t]
     wloc = _f32(dp.wloc)
-    v_a = _f32(dp.v_a)
     loc_k = _f32(dp.loc_k)                                    # [K, F]
     K, F = loc_k.shape
     # channel-1 convolutions lower poorly on TPU; the cached banded selector
-    # (same one the kernels use) turns conv-fwd and conv-filter-grad into
-    # two MXU matmuls
+    # (same one the kernels use) expresses the conv fwd/filter-grad banding
     sel = jnp.asarray(_band_selector(K, Tp))                  # [Tp*Tp, K]
-
-    denergy = bwd["denergy"]                                  # [S,B,Tp] f32
-    Sc = max(1, chunk)
-    n_chunks = (S + Sc - 1) // Sc
-    pad_s = n_chunks * Sc - S
-    def padS(x):
-        return jnp.concatenate([x, jnp.zeros((pad_s,) + x.shape[1:],
-                                             x.dtype)], 0) if pad_s else x
-    cdt = bwd["e2"].dtype   # residual precision (bf16 prod / f32 exact)
-    cum_s = padS(res["cum_pre"]).reshape(n_chunks, Sc, B, Tp)
-    den_s = padS(denergy.astype(cdt)).reshape(n_chunks, Sc, B, Tp)
-    e2_s = padS(bwd["e2"]).reshape(n_chunks, Sc, B, Tp, A)
 
     # dkeys / dq / d_beff come straight from the kernel's own accumulations
     dkeys = bwd["dkeys2"].reshape(B, Tp, A)
     d_beff = dkeys.sum((0, 1))
     d_wq = ein("sbu,sba->ua", res["h2"], bwd["dq"])
 
-    bandF = (sel @ loc_k).reshape(Tp, Tp * F).astype(cdt)     # [s, (t,f)]
-
-    def chunk_fn(carry, sl):
-        d_v, d_wloc, d_lk = carry
-        cum_c, den_c, e2 = sl
-        cum_f = cum_c.reshape(Sc * B, Tp).astype(cdt)
-        f = (cum_f @ bandF).reshape(Sc * B, Tp, F)            # loc conv fwd
-        d_v = d_v + ein("nbta,nbt->a", e2, den_c)
-        de2 = (den_c[..., None] * v_a.astype(cdt)
-               * (1.0 - e2 * e2)).reshape(Sc * B, Tp, A)      # [Sc*B,Tp,A]
-        d_wloc = d_wloc + ein("ntf,nta->fa", f, de2)
-        df = ein("nta,fa->ntf", de2, wloc.astype(cdt))
-        # conv filter grad as two contractions against the selector
-        g = ein("ns,ntf->stf", cum_f, df).reshape(Tp * Tp, F)
-        d_lk = d_lk + sel.T @ g
-        return (d_v, d_wloc, d_lk), None
-
-    init = (jnp.zeros_like(v_a), jnp.zeros_like(wloc),
-            jnp.zeros_like(loc_k))
-    (d_v_a, d_wloc, d_loc_k3), _ = jax.lax.scan(
-        chunk_fn, init, (cum_s, den_s, e2_s))
+    t1 = bwd["t1"].reshape(Tp, Tp, A)                         # [u, t, a]
+    d_v_a = bwd["dv"][0].reshape(Tp, A).sum(0)
+    # d_wloc[f,a] = sum_{u,t} bandF[u,t,f] * t1[u,t,a]
+    #   where bandF[u, t*F+f] = sum_k sel[u*Tp+t, k] loc_k[k, f] is the
+    #   Toeplitz expansion of the location conv (f = cum @ bandF)
+    bandF = (sel @ loc_k).reshape(Tp, Tp, F)
+    d_wloc = ein("utf,uta->fa", bandF, t1)
+    # d_loc_k[k,f] = sum_a wloc[f,a] * sum_{u=t+k-pad} t1[u,t,a]
+    sel3 = sel.reshape(Tp, Tp, K)
+    d_ka = ein("uta,utk->ka", t1, sel3)
+    d_loc_k = d_ka @ wloc.T                                   # [K, F]
     # b_eff = b_a + loc_b @ wloc: route the bias gradient through the fold
     d_b_a = d_beff
     d_loc_b = d_beff @ wloc.T
     d_wloc = d_wloc + jnp.outer(_f32(dp.loc_b), d_beff)
-    d_loc_k = d_loc_k3
 
     # ---- memory grad (context formation only; keys handled above)
     dmem = ein("sbt,sbm->btm", res["align"].astype(rdt),

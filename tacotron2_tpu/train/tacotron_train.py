@@ -137,16 +137,19 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
             log(f"Loss exploded to {loss:.5f} at step {step}", slack=True)
             raise RuntimeError(f"Loss exploded to {loss} at step {step}")
 
-        if step % ckpt_interval == 0 or step == 300 or step == steps:
+        if (ckpt_interval > 0 and step % ckpt_interval == 0) \
+                or step == 300 or step == steps:
             mgr.save(step, state)
             log(f"Saved checkpoint at step {step}")
 
-        if step % eval_interval == 0 and step > start_step:
+        # interval 0/None disables periodic eval (mirrors the reference
+        # leaving eval off rather than dividing by its interval)
+        do_eval = eval_interval and step % eval_interval == 0
+        if do_eval and step > start_step:
             _eval_losses(trainer, state, feeder, bs, summary, step)
             _eval_synthesis(cfg, trainer, state, first, eval_dir, step,
                             eval_sentences)
-        if save_output_vars and (step == start_step + 1
-                                 or step % eval_interval == 0):
+        if save_output_vars and (step == start_step + 1 or do_eval):
             _save_output_vars(trainer, state, batch,
                               os.path.join(log_dir, "output_vars"), step)
 

@@ -99,11 +99,12 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
             log(f"Loss exploded to {loss:.5f} at step {step}", slack=True)
             raise RuntimeError(f"Loss exploded to {loss} at step {step}")
 
-        if step % ckpt_interval == 0 or step == steps:
+        if (ckpt_interval > 0 and step % ckpt_interval == 0) or step == steps:
             mgr.save(step, state)
             log(f"Saved checkpoint at step {step} (params + EMA shadow)")
 
-        if step % eval_interval == 0:
+        # interval 0/None disables periodic eval
+        if eval_interval and step % eval_interval == 0:
             _eval_losses(trainer, state, feeder, bs, summary, step)
             _eval_generation(cfg, state, first, eval_dir, step)
 
