@@ -48,6 +48,9 @@ class ConvBlock(nn.Module):
         act = self.activation if self.activation is not None else (lambda v: v)
         h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
                     kernel_init=glorot, dtype=self.dtype)(x)
+        # BatchNorm outputs stay f32 (measured: casting them bf16 is perf-
+        # neutral at B=96x400 — XLA already fuses the normalization into the
+        # conv epilogue — so keep the extra mantissa)
         if self.bnorm == "after":
             h = act(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
@@ -157,8 +160,12 @@ class BiLSTMEncoder(nn.Module):
         B, T, _ = x.shape
 
         def run(cell, seq):
-            carry0 = (jnp.zeros((B, self.units), x.dtype),
-                      jnp.zeros((B, self.units), x.dtype))
+            # carry in ≥f32: the cell's f32 kernels promote a bf16 input
+            # (e.g. from a bf16 conv stack) to f32 states, and scan requires
+            # carry-in/carry-out dtypes to match
+            cdt = jnp.promote_types(x.dtype, jnp.float32)
+            carry0 = (jnp.zeros((B, self.units), cdt),
+                      jnp.zeros((B, self.units), cdt))
             scan = nn.scan(
                 lambda c, carry, xt: c(carry, xt, train=train),
                 variable_broadcast="params",

@@ -267,6 +267,68 @@ def test_disc_feeder_accent_kind(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_tacotron2_sequencer(tmp_path):
+    """Full 3-stage pipeline via the CLI sequencer (reference train.py:43-90):
+    taco-train → GTA synth → wavenet-train with state_log resume, then the
+    end-to-end `synthesize --model Tacotron-2` text→mel→waveform path."""
+    from make_tiny_dataset import main as make_corpus
+    corpus = make_corpus(str(tmp_path / "corpus"), n=8)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    hparams = TINY_HPARAMS + "," + ",".join([
+        # tiny vocoder; upsample_scales keep prod == audio hop (200)
+        "wavenet.layers=2", "wavenet.stacks=1", "wavenet.residual_channels=8",
+        "wavenet.gate_channels=16", "wavenet.skip_out_channels=8",
+        "wavenet.upsample_scales=8+25", "wavenet.dropout=0.0",
+        "train.max_time_steps=2000", "train.wavenet_batch_size=2",
+        "train.wavenet_test_batches=1", "train.wavenet_synthesis_batch_size=1",
+    ])
+    base = str(tmp_path / "run")
+
+    def run(*argv, timeout=900):
+        r = subprocess.run([sys.executable, "-m", "tacotron2_tpu.cli",
+                            "--base-dir", base, "--hparams", hparams, *argv],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=timeout)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r
+
+    run("train", "--model", "Tacotron-2", "--input-path",
+        os.path.join(corpus, "train.txt"), "--train-steps", "2",
+        "--wavenet-train-steps", "2", "--batch-size", "2",
+        "--wavenet-batch-size", "2")
+    log_dir = os.path.join(base, "logs-Tacotron-2")
+    # all three stages completed and recorded in the crash-resume state file
+    # (reference train.py:16-22 writes "1 1 1" in [taco, GTA, wave] order)
+    from tacotron2_tpu.cli import read_seq
+    assert read_seq(os.path.join(base, "state_log")) == {"taco", "GTA", "wave"}
+    gta_map = os.path.join(base, "tacotron_output", "gta", "map.txt")
+    assert os.path.exists(gta_map)
+    rows = [l.split("|") for l in open(gta_map) if l.strip()]
+    assert len(rows) == 8
+    gta_mel = np.load(rows[0][2])
+    assert gta_mel.shape[1] == 80 and np.isfinite(gta_mel).all()
+    assert os.path.isdir(os.path.join(log_dir, "taco_pretrained"))
+    assert os.path.isdir(os.path.join(log_dir, "wave_pretrained"))
+
+    # resume is a no-op once all stages are done (state_log short-circuits)
+    run("train", "--model", "Tacotron-2", "--input-path",
+        os.path.join(corpus, "train.txt"), "--train-steps", "2",
+        "--batch-size", "2", timeout=120)
+
+    # end-to-end text -> mel -> waveform through both restored checkpoints
+    run("synthesize", "--model", "Tacotron-2", "--mode", "eval",
+        "--checkpoint", os.path.join(log_dir, "taco_pretrained"),
+        "--wavenet-checkpoint", os.path.join(log_dir, "wave_pretrained"),
+        "--sentence", "Hi there.")
+    out_dir = os.path.join(base, "tacotron_output")
+    assert os.path.exists(os.path.join(out_dir, "eval", "map.txt"))
+    wavs = list((tmp_path / "run" / "tacotron_output" / "wavenet" /
+                 "wavs").glob("*.wav"))
+    assert len(wavs) == 1 and wavs[0].stat().st_size > 1000
+
+
+@pytest.mark.slow
 def test_cli_pipeline(tmp_path):
     """The CLI surface: preprocess → train Tacotron a few steps → eval synth."""
     from make_tiny_dataset import main as make_corpus
