@@ -224,10 +224,16 @@ def mel_spectrogram(wav: np.ndarray, cfg: AudioConfig) -> np.ndarray:
 
 
 def _griffin_lim_np(S: np.ndarray, cfg: AudioConfig,
-                    rng: np.random.Generator | None = None) -> np.ndarray:
-    """Numpy Griffin-Lim (reference _griffin_lim, audio.py:151-161)."""
-    rng = rng or np.random.default_rng(0)
-    angles = np.exp(2j * np.pi * rng.random(S.shape))
+                    rng: np.random.Generator | None = None,
+                    init_angles: np.ndarray | None = None) -> np.ndarray:
+    """Numpy Griffin-Lim (reference _griffin_lim, audio.py:151-161).
+
+    `init_angles` (uniform [0,1) phases/2π) overrides the RNG — used by the
+    reference-parity tests to compare bitwise against golden fixtures."""
+    if init_angles is None:
+        rng = rng or np.random.default_rng(0)
+        init_angles = rng.random(S.shape)
+    angles = np.exp(2j * np.pi * init_angles)
     S_complex = np.abs(S).astype(np.complex128)
     y = _istft_np(S_complex * angles, cfg)
     for _ in range(cfg.griffin_lim_iters):

@@ -48,6 +48,54 @@ def griffin_lim(S: jnp.ndarray, n_fft: int, hop: int, win_size: int,
     return jax.lax.fori_loop(0, iters, body, y)
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "win_size",
+                                             "iters"))
+def griffin_lim_tf(S: jnp.ndarray, n_fft: int, hop: int, win_size: int,
+                   iters: int = 60) -> jnp.ndarray:
+    """Bit-faithful twin of the reference's in-graph Griffin-Lim
+    (_griffin_lim_tensorflow, audio.py:163-176): tf.signal framing
+    (uncentered win_size frames, raw hann OLA inverse), zero initial phase,
+    angle = est / max(1e-8, |est|).
+
+    S: magnitude [..., frames, bins] already raised to `power`.
+    Deterministic; validated allclose against TF-generated golden fixtures
+    in tests/test_reference_parity.py.
+    """
+    S = jnp.asarray(S)
+    y = _stft.istft_tf(S, jnp.zeros_like(S), n_fft, hop, win_size)
+
+    def body(_, y):
+        est_re, est_im = _stft.stft_tf(y, n_fft, hop, win_size)
+        mag = jnp.maximum(1e-8, jnp.sqrt(est_re * est_re + est_im * est_im))
+        return _stft.istft_tf(S * est_re / mag, S * est_im / mag,
+                              n_fft, hop, win_size)
+
+    return jax.lax.fori_loop(0, iters, body, y) if iters else y
+
+
+def inv_mel_spectrogram_tfgl(mel: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """GL_on_GPU path: inv_mel_spectrogram_tensorflow (audio.py:131-143).
+
+    Like inv_mel_spectrogram but through the TF-semantics G-L; does NOT
+    invert preemphasis (neither does the reference's TF path — callers apply
+    inv_preemphasis on the host, tacotron/train.py:660)."""
+    D = _stft.denormalize_db(mel, cfg) if cfg.signal_normalization else mel
+    S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
+    lin = _stft.mel_to_linear(S, cfg)
+    return griffin_lim_tf(lin ** cfg.power, cfg.n_fft, cfg.effective_hop,
+                          cfg.win_size, cfg.griffin_lim_iters)
+
+
+def inv_linear_spectrogram_tfgl(linear: jnp.ndarray,
+                                cfg: AudioConfig) -> jnp.ndarray:
+    """GL_on_GPU path: inv_linear_spectrogram_tensorflow (audio.py:118-129)."""
+    D = (_stft.denormalize_db(linear, cfg) if cfg.signal_normalization
+         else linear)
+    S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
+    return griffin_lim_tf(S ** cfg.power, cfg.n_fft, cfg.effective_hop,
+                          cfg.win_size, cfg.griffin_lim_iters)
+
+
 def inv_linear_spectrogram(linear: jnp.ndarray, cfg: AudioConfig,
                            key: jax.Array | None = None) -> jnp.ndarray:
     """Normalized linear spectrogram [..., frames, bins] → waveform.

@@ -226,6 +226,66 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
     return y.reshape(batch_shape + (y.shape[-1],))
 
 
+# --------------------------------------------- TF-semantics STFT (GL_on_GPU)
+#
+# The reference's in-graph Griffin-Lim (audio.py:163-176) uses
+# tf.contrib.signal.{stft,inverse_stft} with frame_length=win_size, NO
+# centering, a hann(win_size) analysis window, rfft zero-padded to n_fft,
+# and raw hann-windowed overlap-add on the inverse (no window-sum-square
+# normalization — the resulting constant gain cancels in G-L's angle
+# extraction and in save_wav's peak normalization). These variants replicate
+# that bit-for-bit so the GL_on_GPU output waveform is reference-checkable
+# (tests/test_reference_parity.py vs TF-generated golden fixtures).
+
+
+def frame_uncentered(y: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
+    """[..., T] → [..., frames, frame_len] with no padding (TF framing)."""
+    num = 1 + (y.shape[-1] - frame_len) // hop
+    k = -(-frame_len // hop)
+    need = (num - 1 + k) * hop
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, need - y.shape[-1]))])
+    y2d = y.reshape(y.shape[:-1] + (-1, hop))
+    planes = [y2d[..., s: s + num, :] for s in range(k)]
+    return jnp.concatenate(planes, axis=-1)[..., :frame_len]
+
+
+def stft_tf(y: jnp.ndarray, n_fft: int, hop: int, win_size: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """tf.signal.stft semantics: uncentered hann(win) frames, rfft @ n_fft."""
+    cos_b, sin_b = _dft_bases(n_fft)
+    frames = frame_uncentered(y, win_size, hop) * jnp.asarray(
+        hann_window(win_size))
+    re = frames @ jnp.asarray(cos_b[:win_size])
+    im = -(frames @ jnp.asarray(sin_b[:win_size]))
+    return re, im
+
+
+def istft_tf(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
+             win_size: int) -> jnp.ndarray:
+    """tf.signal.inverse_stft semantics (default window_fn=hann): irfft at
+    n_fft truncated to win_size, hann-windowed, raw overlap-add.
+
+    [..., frames, K] → [..., hop·(frames-1) + win_size]."""
+    ci, si = _idft_bases(n_fft)
+    frames = ((re @ jnp.asarray(ci[:, :win_size])
+               - im @ jnp.asarray(si[:, :win_size]))
+              * jnp.asarray(hann_window(win_size)))
+
+    num = frames.shape[-2]
+    total = win_size + hop * (num - 1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, num, win_size))
+    k = -(-win_size // hop)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, k * hop - win_size)))
+    planes = flat.reshape(flat.shape[0], num, k, hop)
+    acc = jnp.zeros((flat.shape[0], num + k - 1, hop), dtype=flat.dtype)
+    for s in range(k):
+        acc = acc + jnp.pad(planes[:, :, s, :],
+                            ((0, 0), (s, k - 1 - s), (0, 0)))
+    y = acc.reshape(flat.shape[0], -1)[:, :total]
+    return y.reshape(batch_shape + (total,))
+
+
 # ----------------------------------------------------------- db / normalize
 
 
