@@ -145,6 +145,10 @@ class TacotronConfig:
     decoder_layers: int = 2
     decoder_lstm_units: int = 1024
     max_iters: int = 1000
+    # early-exit synthesis decode: stop after each K-step block once every
+    # stream fired its stop condition (reference dynamic_decode semantics,
+    # custom_decoder.py:107-139). 0 = always run max_iters steps.
+    early_stop_block: int = 64
     # rematerialize decoder-step activations in backward (jax.checkpoint):
     # the TPU replacement for the reference's swap_memory CPU offload
     # (hparams.py:262, tacotron.py:354) — enables long-utterance training

@@ -259,15 +259,15 @@ class Decoder(nn.Module):
         # multi-chip: under an active ('data', ...) mesh, run the kernel
         # per-shard via shard_map — batch rows split over 'data', params
         # replicated (shard_map's transpose psums their cotangents, which IS
-        # the gradient all-reduce), per-shard PRNG decorrelated by axis index
+        # the gradient all-reduce), per-shard PRNG decorrelated by axis index.
+        # On non-TPU backends the interpret-mode kernel runs under shard_map
+        # too, so CPU virtual meshes (tests, dryrun_multichip) exercise the
+        # same sharded-kernel branch a real multi-chip TPU takes.
         mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
         ndata = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1) \
             if not mesh.empty else 1
-        # TPU only: the interpret-mode kernel (CPU tests / virtual meshes)
-        # does not run under shard_map — multi-device CPU falls back to the
-        # scan path via teacher_forced's eligibility check
-        if ndata > 1 and B % ndata == 0 and jax.default_backend() == "tpu":
-            from jax.experimental.shard_map import shard_map
+        if ndata > 1 and B % ndata == 0:
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             fn = _fused_teacher_forced_fn(self.config, B // ndata, T_in,
@@ -282,7 +282,7 @@ class Decoder(nn.Module):
                 in_specs=(P(), P("data"), P("data"), P("data"),
                           P(None, "data"), P(), P()),
                 out_specs=(P("data"), P("data"), P("data")),
-                check_rep=False)
+                check_vma=False)
             frames, stops, aligns = sharded(
                 dp, keys.astype(jnp.float32), memory.astype(jnp.float32),
                 memory_mask, teacher, coins, seed)
@@ -314,7 +314,6 @@ class Decoder(nn.Module):
         if (tc.use_fused_train_decoder and not self.is_initializing()
                 and not self.config.gst.emt_attn and not tc.smoothing
                 and emt_memory is None
-                and (ndata == 1 or jax.default_backend() == "tpu")
                 and tuple(tc.prenet_layers)
                 == (tc.prenet_layers[-1], tc.prenet_layers[-1])):
             return self._teacher_forced_fused(
@@ -369,12 +368,16 @@ class Decoder(nn.Module):
 
     def autoregressive(self, batch: int, max_steps: int, keys, memory,
                        memory_mask, *, emt_memory=None, ref_spk=None,
-                       labels=None):
+                       labels=None, initial_state: DecoderState | None = None,
+                       return_state: bool = False):
         """Free-running decode over a static number of steps.
 
         Returns (frames, stop_probs, alignments, alignments_emt); stop_probs
         are post-sigmoid (TacoTestHelper semantics) for host-side length
-        recovery.
+        recovery. `initial_state`/`return_state` let callers decode in
+        blocks with host-side early stopping (the reference dynamic_decode's
+        stop-token exit, custom_decoder.py:107-139) — see
+        TacotronSynthesizer._scan_block_synth.
         """
         bf16 = self.config.tacotron.compute_dtype == "bfloat16"
         if bf16:
@@ -383,7 +386,8 @@ class Decoder(nn.Module):
                 emt_memory = emt_memory.astype(jnp.bfloat16)
             if ref_spk is not None:
                 ref_spk = ref_spk.astype(jnp.bfloat16)
-        carry = self._initial_carry(batch, memory, bf16)
+        carry = (initial_state if initial_state is not None
+                 else self._initial_carry(batch, memory, bf16))
 
         def step(cell, st, _):
             return cell(st, st.prev_output, keys, memory, memory_mask,
@@ -395,8 +399,9 @@ class Decoder(nn.Module):
                        split_rngs={"params": False, "dropout": True,
                                    "zoneout": True, "batch_stats": False},
                        in_axes=0, out_axes=0, length=max_steps)
-        _, (frames, stops, aligns, aligns_emt) = scan(self.cell, carry, None)
-        return self._assemble(frames, stops, aligns, aligns_emt, batch)
+        final, (frames, stops, aligns, aligns_emt) = scan(self.cell, carry, None)
+        out = self._assemble(frames, stops, aligns, aligns_emt, batch)
+        return out + (final,) if return_state else out
 
     def _assemble(self, frames, stops, aligns, aligns_emt, B):
         """Scan outputs (step-major) → batch-major reference layout; losses

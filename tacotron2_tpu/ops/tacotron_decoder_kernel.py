@@ -166,6 +166,7 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
                          M: int, *,
                          weight_dtype=jnp.bfloat16,
                          emit_alignments: bool = True,
+                         early_stop_block: int = 0,
                          interpret: bool = False):
     """Compile a fused autoregressive decoder for fixed (B, T_in, max_steps).
 
@@ -174,6 +175,14 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
        seed int32) -> (frames [B, steps*r, mels], stop_probs [B, steps*r],
     alignments [B, T_in, steps] | None). Semantics match
     Decoder.autoregressive (decoder.py:213-236) with apply_stop_sigmoid=True.
+
+    early_stop_block=K > 0 restores the reference dynamic_decode's early
+    stopping (custom_decoder.py:107-139, helpers.py:51-56) at block
+    granularity: after each K steps, if EVERY stream has fired its stop
+    condition (all r stop probs > 0.5, or any with cfg.tacotron.stop_at_any),
+    the remaining blocks are skipped (pl.when on an SMEM flag — compute and
+    output DMA both elided). Skipped steps carry stop prob 1.0 so host-side
+    length recovery (synthesizer.get_output_lengths) is unaffected.
     """
     tc, au = cfg.tacotron, cfg.audio
     assert not cfg.gst.emt_attn, "emt_attn decoding uses the XLA scan path"
@@ -191,6 +200,10 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
     Tp = ((T_in + 127) // 128) * 128
     steps = max_steps
     smoothing = bool(tc.smoothing)
+    stop_at_any = bool(tc.stop_at_any)
+    K = int(early_stop_block)
+    if K <= 0 or K >= steps:
+        K = 0
     constraint = bool(tc.synthesis_constraint)
     ctype = tc.synthesis_constraint_type
     win = int(tc.attention_win_size)
@@ -208,8 +221,17 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
             scratch = rest[1:]
         else:
             scratch = rest
-        (xprev, c1, h1, c2, h2, ctx, cum, pmax) = scratch
+        (xprev, c1, h1, c2, h2, ctx, cum, pmax, fired, done) = scratch
         pltpu.prng_seed(seed_ref[0])
+        if K:
+            # skipped steps must read as "stopped" for host length recovery
+            forow = jax.lax.broadcasted_iota(jnp.int32, (B, FO), 1)
+            out_ref[:] = jnp.broadcast_to(
+                (forow >= r * mels).astype(jnp.float32), (steps, B, FO))
+            if emit_alignments:
+                align_out[:] = jnp.zeros((steps, B, Tp), align_out.dtype)
+            fired[:] = jnp.zeros((B, 128), jnp.float32)
+            done[0, 0] = 0
         xprev[:] = jnp.zeros((B, 128), jnp.float32)
         c1[:] = jnp.zeros((B, U), jnp.float32)
         h1[:] = jnp.zeros((B, U), jnp.float32)
@@ -320,9 +342,30 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
             if emit_alignments:
                 align_out[t] = align.astype(align_out.dtype)
             xprev[:, :mels] = frames[:, (r - 1) * mels:]
+            if K:
+                # sticky per-stream stop flag: all (or any) of the r stop
+                # probs above 0.5 (TacoTestHelper, helpers.py:51-56)
+                sp = jax.nn.sigmoid(stops)
+                fin = (jnp.max(sp, axis=-1) if stop_at_any
+                       else jnp.min(sp, axis=-1)) > 0.5
+                fired[:, 0] = jnp.maximum(fired[:, 0],
+                                          fin.astype(jnp.float32))
             return 0
 
-        jax.lax.fori_loop(0, steps, step_body, 0)
+        if K:
+            n_blocks = -(-steps // K)
+
+            def blk_body(b, _):
+                @pl.when(done[0, 0] == 0)
+                def _():
+                    jax.lax.fori_loop(b * K, jax.lax.min((b + 1) * K, steps),
+                                      step_body, 0)
+                    done[0, 0] = (jnp.min(fired[:, 0]) > 0.5).astype(jnp.int32)
+                return 0
+
+            jax.lax.fori_loop(0, n_blocks, blk_body, 0)
+        else:
+            jax.lax.fori_loop(0, steps, step_body, 0)
 
     n_weights = 15
     out_shapes = [jax.ShapeDtypeStruct((steps, B, FO), jnp.float32)]
@@ -346,6 +389,8 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
             pltpu.VMEM((B, M), jnp.float32),     # context
             pltpu.VMEM((B, Tp), jnp.float32),    # cumulative alignments
             pltpu.VMEM((B, 128), jnp.int32),     # prev max attention
+            pltpu.VMEM((B, 128), jnp.float32),   # sticky stop flags
+            pltpu.SMEM((1, 1), jnp.int32),       # all-streams-done flag
         ],
     )
 

@@ -10,14 +10,14 @@ step with activation caching':
   write per layer per step (the XLA scan version pays ~35 µs/step in op
   dispatch alone; in-kernel these are register-speed).
 - Local conditioning is DMA'd from HBM in chunks and double-buffered.
-- Gaussian sampling runs in-kernel via the TPU PRNG (Box-Muller).
-
-Falls back to the XLA scan sampler (models/wavenet/sampler.py) for MoL /
-mulaw-quantize heads; the Gaussian scalar-input head is the reference's
-default (hparams.py:222 out_channels=2).
+- Sampling runs in-kernel via the TPU PRNG for ALL THREE reference output
+  heads (_HeadPlan): Gaussian (hparams.py default, Box-Muller), discretized
+  mixture-of-logistics (paper_hparams default), and mulaw-quantize
+  categorical (inverse-CDF pick + one-hot feedback).
 
 Reference behavior being fused: wavenet.py:724-911 (incremental loop),
-modules.py:270-333 (convolution queues), gaussian.py:39-52 (sampling).
+modules.py:270-333 (convolution queues), gaussian.py:39-52 /
+mixture.py:76-107 / wavenet.py:872-880 (sampling).
 """
 
 from __future__ import annotations
@@ -53,6 +53,126 @@ def _uniform_from_bits(bits):
     return b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
+class _HeadPlan:
+    """Head-specific pieces of the fused sampler: noise plan, first-conv
+    input path, and the in-kernel sampling step.
+
+    All three reference output heads are fused:
+    - gaussian (out_channels=2, hparams.py default): Box-Muller normal,
+      sample = clip(mean + exp(log_s)·z)  (gaussian.py:39-52);
+    - mol (out_channels=3·nr_mix, paper_hparams default): mixture pick by
+      inverse-CDF on the softmaxed logits (statistically equivalent to the
+      reference's Gumbel-max, mixture.py:79-88 — the PRNG stream differs
+      anyway), then a logistic sample from the picked component
+      (mixture.py:99-107);
+    - categorical (mulaw-quantize, out_channels=quantize_channels):
+      inverse-CDF class pick over the softmax (tf.multinomial semantics,
+      wavenet.py:872-880); the sample value is the class index (float) and
+      the feedback is its one-hot — which the inverse-CDF already produced.
+
+    The categorical cumulative sum rides the MXU as [B,Q]@[Q,Q] against an
+    upper-triangular ones matrix built from 2-D iota in-register.
+    """
+
+    def __init__(self, cfg: Config, chunk: int, B: int, weight_dtype):
+        wn = cfg.wavenet
+        self.B, self.chunk, self.weight_dtype = B, chunk, weight_dtype
+        scalar = wn.input_type in ("raw", "mulaw")
+        if scalar and wn.out_channels == 2:
+            self.kind, self.planes = "gaussian", 1
+            self.log_scale_min = np.float32(wn.log_scale_min_gauss)
+        elif scalar:
+            assert wn.out_channels % 3 == 0, wn.out_channels
+            self.kind, self.planes = "mol", 2
+            self.nr = wn.out_channels // 3
+            self.log_scale_min = np.float32(wn.log_scale_min)
+        else:
+            assert wn.input_type == "mulaw-quantize", wn.input_type
+            assert wn.out_channels == wn.quantize_channels, \
+                (wn.out_channels, wn.quantize_channels)
+            self.kind, self.planes = "categorical", 1
+            self.q = wn.quantize_channels
+        self.xprev_width = 128 if scalar else self.q
+
+    # ---- kernel-side pieces (operate on refs / in-register values) ----
+
+    def init_xprev(self, xprev):
+        xprev[:] = jnp.zeros((self.B, self.xprev_width), jnp.float32)
+        if self.kind == "categorical":
+            # initial input = one-hot of the mulaw zero point (sampler.py:137)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (self.B, self.xprev_width), 1)
+            xprev[:] = (col == 127).astype(jnp.float32)
+
+    def fill_noise(self, zmat):
+        """Per-chunk noise planes [planes, chunk, B] (amortized PRNG).
+
+        NOTE: the interpret-mode (CPU) TPU PRNG returns all-zero bits, so
+        uniforms collapse to the 2^-25 floor there; parity tests therefore
+        use PRNG-independent oracles (tests/test_pallas_kernels.py), and
+        distributional behavior is checked with real noise on hardware
+        (scripts/check_sampler_noise.py)."""
+        if self.kind == "gaussian":
+            bits = pltpu.prng_random_bits((2, self.chunk, self.B))
+            u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+            zmat[:] = (jnp.sqrt(-2.0 * jnp.log(u[0])) *
+                       jnp.cos(2.0 * math.pi * u[1]))[None]
+        else:
+            bits = pltpu.prng_random_bits((self.planes, self.chunk, self.B))
+            zmat[:] = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+
+    def first_x(self, xprev, first_w, first_b):
+        if self.kind == "categorical":
+            return (jnp.dot(xprev[:].astype(self.weight_dtype),
+                            first_w[:].astype(self.weight_dtype),
+                            preferred_element_type=jnp.float32) + first_b[:])
+        # scalar input: an outer product on the VPU
+        return xprev[:, :1] * first_w[:] + first_b[:]
+
+    @staticmethod
+    def _inverse_cdf_onehot(logits, u):
+        """[B, Q] logits + [B] uniform → one-hot [B, Q] of the picked class."""
+        Bq, Q = logits.shape
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        r = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+        tri = (r <= c).astype(jnp.float32)
+        cum = jnp.dot(e, tri, preferred_element_type=jnp.float32)   # [B, Q]
+        tot = cum[:, Q - 1:Q]
+        pick = (u[:, None] * tot < cum).astype(jnp.float32)  # monotone in Q
+        return pick - jnp.concatenate(
+            [jnp.zeros((Bq, 1), jnp.float32), pick[:, :Q - 1]], axis=-1)
+
+    def emit(self, yh, zmat, i, xprev, samples_ref, t):
+        """Sample from yh [B, out], write samples_ref[t] and the feedback."""
+        if self.kind == "gaussian":
+            mean = yh[:, 0]
+            log_s = jnp.maximum(yh[:, 1], self.log_scale_min)
+            sample = jnp.clip(mean + jnp.exp(log_s) * zmat[0, i], -1.0, 1.0)
+            samples_ref[t] = sample
+            xprev[:, 0] = sample
+        elif self.kind == "mol":
+            nr = self.nr
+            onehot = self._inverse_cdf_onehot(yh[:, :nr], zmat[0, i])
+            mean = jnp.sum(yh[:, nr:2 * nr] * onehot, axis=-1)
+            log_s = jnp.maximum(
+                jnp.sum(yh[:, 2 * nr:3 * nr] * onehot, axis=-1),
+                self.log_scale_min)
+            u = jnp.clip(zmat[1, i], 1e-5, 1.0 - 1e-5)  # mixture.py:99-101
+            sample = jnp.clip(
+                mean + jnp.exp(log_s) * (jnp.log(u) - jnp.log(1.0 - u)),
+                -1.0, 1.0)
+            samples_ref[t] = sample
+            xprev[:, 0] = sample
+        else:
+            onehot = self._inverse_cdf_onehot(yh[:, :self.q], zmat[0, i])
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (self.B, self.q), 1).astype(jnp.float32)
+            samples_ref[t] = jnp.sum(onehot * iota, axis=-1)  # class index
+            xprev[:] = onehot
+
+
 def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                          interpret: bool = False,
                          cache_dtype=jnp.float32,
@@ -86,9 +206,6 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                                         threshold=hbm_delay_threshold,
                                         window=window)
     wn = cfg.wavenet
-    assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
-        "fused kernel supports the scalar-input Gaussian head; use the XLA " \
-        "sampler for MoL/mulaw-quantize"
     assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
     L, R, G = wn.layers, wn.residual_channels, wn.gate_channels
     S = wn.skip_out_channels
@@ -100,7 +217,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
     dilations = tuple(int(d) for d in wn.dilations)
     legacy_scale = np.float32(np.sqrt(0.5))
     n_chunks = T // chunk
-    log_scale_min = np.float32(wn.log_scale_min_gauss)
+    head = _HeadPlan(cfg, chunk, B, weight_dtype)
 
     def kernel(seed_ref, cup_hbm,                      # inputs
                czw, czb, sow, sob,
@@ -109,27 +226,23 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                buf, cbuf, xprev, zmat, sem):           # scratch
         pltpu.prng_seed(seed_ref[0])
         buf[:] = jnp.zeros((dtot, B, 2 * R), cache_dtype)
-        xprev[:] = jnp.zeros((B, 128), jnp.float32)
+        head.init_xprev(xprev)
 
         def chunk_body(ci, _):
             # DMA this chunk of upsampled conditioning into VMEM
             dma = pltpu.make_async_copy(
                 cup_hbm.at[pl.ds(ci * chunk, chunk)], cbuf, sem)
             dma.start()
-            # amortize PRNG + Box-Muller over the chunk: one [B, chunk]
-            # normal matrix, sliced per step (per-step transcendentals on
-            # (2, B, 128) tiles cost more than the sample matmuls)
-            bits = pltpu.prng_random_bits((2, chunk, B))
-            u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
-            zmat[:] = (jnp.sqrt(-2.0 * jnp.log(u[0])) *
-                       jnp.cos(2.0 * math.pi * u[1]))
+            # amortize PRNG (+ Box-Muller for the Gaussian head) over the
+            # chunk: per-step transcendentals on (2, B, 128) tiles cost more
+            # than the sample matmuls
+            head.fill_noise(zmat)
             dma.wait()
 
             def step_body(i, _):
                 t = ci * chunk + i
                 ct = cbuf[i].astype(weight_dtype)              # [B, C]
-                # first "conv" is scalar-input: an outer product on the VPU
-                x = xprev[:, :1] * first_w[:] + first_b[:]     # [B, R]
+                x = head.first_x(xprev, first_w, first_b)      # [B, R]
 
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
@@ -170,12 +283,7 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
                     + f1_b[:], 0.0)
                 yh = jnp.dot(y, f2_w[:],
                              preferred_element_type=jnp.float32) + f2_b[:]
-                mean, log_scale = yh[:, 0], jnp.maximum(yh[:, 1], log_scale_min)
-
-                z_norm = zmat[i]
-                sample = jnp.clip(mean + jnp.exp(log_scale) * z_norm, -1.0, 1.0)
-                samples_out[t] = sample
-                xprev[:, 0] = sample
+                head.emit(yh, zmat, i, xprev, samples_out, t)
                 return 0
 
             jax.lax.fori_loop(0, chunk, step_body, 0)
@@ -192,8 +300,8 @@ def build_sampler_kernel(cfg: Config, B: int, T: int, chunk: int = 512,
         scratch_shapes=[
             pltpu.VMEM((dtot, B, 2 * R), cache_dtype),   # delay lines
             pltpu.VMEM((chunk, B, C), jnp.float32),      # conditioning chunk
-            pltpu.VMEM((B, 128), jnp.float32),           # previous sample
-            pltpu.VMEM((chunk, B), jnp.float32),         # chunk normals
+            pltpu.VMEM((B, head.xprev_width), jnp.float32),  # feedback input
+            pltpu.VMEM((head.planes, chunk, B), jnp.float32),  # chunk noise
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -255,8 +363,6 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
     build_sampler_kernel.
     """
     wn = cfg.wavenet
-    assert wn.out_channels == 2 and wn.input_type in ("raw", "mulaw"), \
-        "fused kernel supports the scalar-input Gaussian head"
     assert T % chunk == 0, f"T={T} must be a multiple of chunk={chunk}"
     L, R, G = wn.layers, wn.residual_channels, wn.gate_channels
     S = wn.skip_out_channels
@@ -287,7 +393,7 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
     n_chunks = T // chunk
     wins_per_chunk = chunk // W
     n_windows = T // W
-    log_scale_min = np.float32(wn.log_scale_min_gauss)
+    head = _HeadPlan(cfg, chunk, B, weight_dtype)
 
     def kernel(seed_ref, cup_hbm,                      # inputs
                czw, czb, sow, sob,
@@ -297,7 +403,7 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
                csem, ssem, zsem, rsem, wsem):
         pltpu.prng_seed(seed_ref[0])
         vbuf[:] = jnp.zeros((dtot_v, B, 2 * R), cache_dtype)
-        xprev[:] = jnp.zeros((B, 128), jnp.float32)
+        head.init_xprev(xprev)
 
         # zero the HBM delay lines (block copies of a zeroed VMEM tile)
         zblk[:] = jnp.zeros((ZBLK, B, 2 * R), cache_dtype)
@@ -348,8 +454,7 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
                 t = t0 + i
                 ci = t // chunk  # only used for the cbuf-relative index
                 ct = cbuf[t - ci * chunk].astype(weight_dtype)  # [B, C]
-                # first "conv" is scalar-input: an outer product on the VPU
-                x = xprev[:, :1] * first_w[:] + first_b[:]      # [B, R]
+                x = head.first_x(xprev, first_w, first_b)       # [B, R]
 
                 skips = jnp.zeros((B, S), jnp.float32)
                 for l in range(L):
@@ -397,12 +502,8 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
                     + f1_b[:], 0.0)
                 yh = jnp.dot(y, f2_w[:],
                              preferred_element_type=jnp.float32) + f2_b[:]
-                mean, log_scale = yh[:, 0], jnp.maximum(yh[:, 1], log_scale_min)
-
-                z_norm = zmat[t - ci * chunk]
-                sample = jnp.clip(mean + jnp.exp(log_scale) * z_norm, -1.0, 1.0)
-                sbuf[t - ci * chunk] = sample
-                xprev[:, 0] = sample
+                head.emit(yh, zmat, t - ci * chunk, xprev, sbuf,
+                          t - ci * chunk)
                 return 0
 
             jax.lax.fori_loop(0, W, step_body, 0)
@@ -415,12 +516,8 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
             dma = pltpu.make_async_copy(
                 cup_hbm.at[pl.ds(ci * chunk, chunk)], cbuf, csem)
             dma.start()
-            # amortize PRNG + Box-Muller over the chunk: one [B, chunk]
-            # normal matrix, sliced per step
-            bits = pltpu.prng_random_bits((2, chunk, B))
-            u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
-            zmat[:] = (jnp.sqrt(-2.0 * jnp.log(u[0])) *
-                       jnp.cos(2.0 * math.pi * u[1]))
+            # amortize PRNG (+ Box-Muller) over the chunk
+            head.fill_noise(zmat)
             dma.wait()
             jax.lax.fori_loop(ci * wins_per_chunk, (ci + 1) * wins_per_chunk,
                               window_body, 0)
@@ -448,12 +545,12 @@ def build_sampler_kernel_hbm(cfg: Config, B: int, T: int, chunk: int = 512,
         scratch_shapes=[
             pltpu.VMEM((dtot_v, B, 2 * R), cache_dtype),  # small delay lines
             pltpu.VMEM((chunk, B, C), weight_dtype),      # conditioning chunk
-            pltpu.VMEM((B, 128), jnp.float32),            # previous sample
+            pltpu.VMEM((B, head.xprev_width), jnp.float32),  # feedback
             pltpu.VMEM((chunk, B), jnp.float32),          # sample staging
             pltpu.VMEM((2, n_h, W, B, 2 * R), cache_dtype),  # landing pads
             pltpu.VMEM((2, n_h, W, B, 2 * R), cache_dtype),  # write staging
             pltpu.VMEM((ZBLK, B, 2 * R), cache_dtype),    # zero tile
-            pltpu.VMEM((chunk, B), jnp.float32),          # chunk normals
+            pltpu.VMEM((head.planes, chunk, B), jnp.float32),  # chunk noise
             pltpu.SemaphoreType.DMA,                      # conditioning
             pltpu.SemaphoreType.DMA,                      # samples out
             pltpu.SemaphoreType.DMA,                      # zero-init
@@ -542,7 +639,7 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
     Reference-equivalent: the tower loop over wavenet_num_gpus
     (wavenet.py:227-239), rebuilt as shard_map over a jax Mesh.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     data_axis = mesh.axis_names[0]
@@ -566,7 +663,7 @@ def sharded_incremental_sample(params, cfg: Config, c_up, seed: int, mesh,
         local, mesh=mesh,
         in_specs=(jax.tree_util.tree_map(lambda _: P(), sp),
                   P(data_axis, None, None), P(data_axis)),
-        out_specs=P(data_axis, None), check_rep=False)
+        out_specs=P(data_axis, None), check_vma=False)
     # distinct per-shard seeds so parallel streams draw independent noise
     seeds = jnp.arange(n_data, dtype=jnp.int32) * 9973 + seed
     c_up = jax.device_put(c_up, NamedSharding(mesh, P(data_axis, None, None)))
@@ -580,7 +677,7 @@ def fused_incremental_sample(params, cfg: Config, c_up, seed: int,
                              weight_dtype=jnp.float32,
                              hbm_delay_threshold: int | None = None,
                              window: int = 16):
-    """Drop-in fast path for sampler.incremental_sample (Gaussian head).
+    """Drop-in fast path for sampler.incremental_sample (all output heads).
 
     c_up: [B, T, C]; T is padded to a chunk multiple internally and trimmed.
     Returns samples [B, T].

@@ -51,6 +51,7 @@ class TacotronSynthesizer:
         self._dec_params = None
         self._fused_cache: Dict[tuple, object] = {}
         self._fused_seed = seed
+        self._jit_block = jax.jit(self._block_fn, static_argnames=("k",))
 
     # ------------------------------------------------------------- plumbing
 
@@ -80,6 +81,59 @@ class TacotronSynthesizer:
             {"params": params, "batch_stats": batch_stats},
             inputs, input_lengths, ref_mel_emt, ref_mel_spk,
             method=Tacotron.synthesis_memory)
+
+    def _block_fn(self, params, batch_stats, carry, keys, memory, mask,
+                  rngs, *, k: int):
+        """One K-step autoregressive block from an explicit decoder state."""
+        from ..models.tacotron.decoder import Decoder
+        dec = Decoder(config=self.cfg)
+        frames, stops, aligns, _, new_carry = dec.apply(
+            {"params": params["decoder"]}, memory.shape[0], k, keys, memory,
+            mask, initial_state=carry, return_state=True,
+            method=Decoder.autoregressive, rngs=rngs)
+        return frames, stops, aligns, new_carry
+
+    def _scan_block_synth(self, inputs, input_lengths, refs_emt, refs_spk,
+                          steps: int, k: int):
+        """XLA-scan decode in K-step blocks with host-side early exit.
+
+        The reference's dynamic_decode stops when every stream's stop
+        condition fired (custom_decoder.py:107-139, helpers.py:51-56); here
+        the host checks the sticky fired flags between jitted blocks —
+        short-utterance batches pay O(longest utterance), not O(max_iters).
+        """
+        import jax.numpy as jnp
+
+        from ..models.tacotron.decoder import Decoder
+        tc = self.cfg.tacotron
+        keys, memory, mask = self._jit_memory(
+            self.params, self.batch_stats, jnp.asarray(inputs),
+            jnp.asarray(input_lengths), jnp.asarray(refs_emt),
+            jnp.asarray(refs_spk))
+        B = memory.shape[0]
+        dec = Decoder(config=self.cfg)
+        carry = dec.bind({"params": self.params["decoder"]})._initial_carry(
+            B, memory, tc.compute_dtype == "bfloat16")
+        fired = np.zeros(B, bool)
+        frames_l, stops_l, aligns_l = [], [], []
+        n_blocks = -(-steps // k)
+        for b in range(n_blocks):
+            frames, stops, aligns, carry = self._jit_block(
+                self.params, self.batch_stats, carry, keys, memory, mask,
+                self._rngs(), k=k)
+            frames_l.append(np.asarray(frames))
+            stops_l.append(np.asarray(stops))
+            aligns_l.append(np.asarray(aligns))
+            sp = stops_l[-1].reshape(B, k, tc.outputs_per_step)
+            fin = (sp.max(-1) if tc.stop_at_any else sp.min(-1)) > 0.5
+            fired |= fin.any(axis=1)
+            if fired.all():
+                break
+        frames = jnp.asarray(np.concatenate(frames_l, axis=1))
+        stops = np.concatenate(stops_l, axis=1)
+        aligns = np.concatenate(aligns_l, axis=2)
+        _, mel_out = self._jit_postnet(self.params, self.batch_stats, frames)
+        return mel_out, aligns, stops
 
     def _postnet_fn(self, params, batch_stats, frames):
         return self.model.apply(
@@ -114,8 +168,9 @@ class TacotronSynthesizer:
         cache_key = (B, t_in, M, steps)
         run = self._fused_cache.get(cache_key)
         if run is None:
-            run = build_decoder_kernel(self.cfg, B, t_in, steps, M,
-                                       weight_dtype=wd)
+            run = build_decoder_kernel(
+                self.cfg, B, t_in, steps, M, weight_dtype=wd,
+                early_stop_block=self.cfg.tacotron.early_stop_block)
             self._fused_cache[cache_key] = run
         self._fused_seed += 1
         frames, stops, aligns = run(self._dec_params, keys, memory, mask,
@@ -176,9 +231,13 @@ class TacotronSynthesizer:
             lengths = tgt_lengths
         else:
             steps = max_steps or self.cfg.tacotron.max_iters
+            k = self.cfg.tacotron.early_stop_block
             if self._fused_eligible(inputs.shape[1]):
                 mels, aligns, stops = self._fused_synth(
                     inputs, input_lengths, refs_emt, refs_spk, steps)
+            elif 0 < k < steps and not self.cfg.gst.emt_attn:
+                mels, aligns, stops = self._scan_block_synth(
+                    inputs, input_lengths, refs_emt, refs_spk, steps, k)
             else:
                 mels, aligns, stops = self._jit_synth(
                     self.params, self.batch_stats, inputs, input_lengths,

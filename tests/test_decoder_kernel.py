@@ -153,3 +153,61 @@ def test_fused_pipeline_matches_model_synthesis():
     np.testing.assert_allclose(np.asarray(aligns),
                                np.asarray(out_ref.alignments),
                                rtol=0, atol=8e-3)
+
+
+def test_early_stop_block_matches_full_run(setup):
+    """Kernel with early_stop_block: identical outputs up to each stream's
+    stop, stop prob 1.0 in the skipped tail, and full parity when no stream
+    stops. Stops are forced deterministically by pinning the stop
+    projection's bias (sigmoid(+-10))."""
+    cfg, params, keys, memory, mask = setup
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    r = cfg.tacotron.outputs_per_step
+    steps = 24
+    run_full = build_decoder_kernel(cfg, B, T_IN, steps, M,
+                                    weight_dtype=jnp.float32, interpret=True)
+    run_blk = build_decoder_kernel(cfg, B, T_IN, steps, M,
+                                   weight_dtype=jnp.float32,
+                                   early_stop_block=8, interpret=True)
+    # force every stream to predict <stop> from step 0: stop bias +10
+    dp_stop = dp._replace(proj_b=dp.proj_b.at[-r:].set(10.0))
+    f_full, s_full, _ = run_full(dp_stop, keys, memory, mask, 3)
+    f_blk, s_blk, _ = run_blk(dp_stop, keys, memory, mask, 3)
+    # first block computed identically
+    np.testing.assert_allclose(f_blk[:, :8 * r], f_full[:, :8 * r],
+                               atol=1e-5)
+    # skipped steps read as stopped (host length recovery unaffected)
+    assert np.all(np.asarray(s_blk[:, 8 * r:]) == 1.0)
+    # no-stop model: block path must equal the full path everywhere
+    dp_nostop = dp._replace(proj_b=dp.proj_b.at[-r:].set(-10.0))
+    f_full2, s_full2, _ = run_full(dp_nostop, keys, memory, mask, 5)
+    f_blk2, s_blk2, _ = run_blk(dp_nostop, keys, memory, mask, 5)
+    np.testing.assert_allclose(f_blk2, f_full2, atol=1e-5)
+    np.testing.assert_allclose(s_blk2, s_full2, atol=1e-5)
+
+
+def test_scan_block_decode_matches_full_scan(setup):
+    """Decoder.autoregressive with initial_state/return_state chained over
+    blocks (the host-side early-exit path, _scan_block_synth) equals the
+    one-shot scan when dropout is off."""
+    cfg, params, keys, memory, mask = setup
+    dec = Decoder(config=cfg)
+    apply_rngs = dict(dropout=jax.random.PRNGKey(3),
+                      zoneout=jax.random.PRNGKey(4))
+    steps, k = 12, 4
+    f_full, s_full, a_full, _ = dec.apply(
+        {"params": params}, B, steps, keys, memory, mask,
+        method=Decoder.autoregressive, rngs=apply_rngs)
+    carry = None
+    fs, ss, als = [], [], []
+    for _ in range(steps // k):
+        f, s_, a_, _, carry = dec.apply(
+            {"params": params}, B, k, keys, memory, mask,
+            initial_state=carry, return_state=True,
+            method=Decoder.autoregressive, rngs=apply_rngs)
+        fs.append(f)
+        ss.append(s_)
+        als.append(a_)
+    np.testing.assert_allclose(np.concatenate(fs, 1), f_full, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(ss, 1), s_full, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(als, 2), a_full, atol=1e-5)

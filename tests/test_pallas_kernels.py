@@ -61,12 +61,123 @@ def test_fused_sampler_chunk_padding():
                                atol=2e-4, rtol=1e-3)
 
 
-def test_fused_sampler_rejects_mol():
-    cfg, params, c_up = _setup()
-    cfg_mol = cfg.replace(wavenet=dataclasses.replace(cfg.wavenet,
-                                                      out_channels=30))
-    with pytest.raises(AssertionError, match="Gaussian"):
-        fused_incremental_sample(params, cfg_mol, c_up, seed=0, interpret=True)
+def _setup_mol(layers=4, B=2, frames=12):
+    """MoL-head model (paper preset head, out_channels=30) with noise
+    suppressed: component 0\'s logit dominates (+/-100 bias) and all
+    log_scales pin to -30, so both samplers deterministically emit mean_0."""
+    cfg = Config()
+    cfg = cfg.replace(
+        wavenet=dataclasses.replace(
+            cfg.wavenet, layers=layers, stacks=2, residual_channels=128,
+            gate_channels=256, skip_out_channels=128, upsample_scales=(2, 2),
+            cin_channels=80, out_channels=30),
+        audio=dataclasses.replace(cfg.audio, num_mels=80))
+    T = frames * 4
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(0, 1, (B, frames, 80)), jnp.float32)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
+        jnp.zeros((B, T, 1)), c, train=False)
+    params = variables["params"]
+    fc2 = params["final_convolution_2"]["Dense_0"]
+    bias = fc2["bias"].at[0].set(100.0)
+    bias = bias.at[1:10].set(-100.0)
+    bias = bias.at[20:30].set(-30.0)
+    fc2["bias"] = bias
+    kernel = fc2["kernel"].at[:, 0:10].set(0.0)
+    fc2["kernel"] = kernel.at[:, 20:30].set(0.0)
+    c_up = model.apply({"params": params}, c, method=WaveNet.upsample)
+    return cfg, params, c_up
+
+
+def test_fused_sampler_mol_matches_xla_scan():
+    cfg, params, c_up = _setup_mol()
+    s_ref, _ = incremental_sample(params, cfg, c_up, jax.random.PRNGKey(9))
+    s_fused = fused_incremental_sample(params, cfg, c_up, seed=9, chunk=16,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(s_fused), np.asarray(s_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fused_sampler_mol_hbm_matches_vmem():
+    cfg, params, c_up = _setup_mol(layers=6)  # dilations up to 32
+    s_vmem = fused_incremental_sample(params, cfg, c_up, seed=5, chunk=16,
+                                      interpret=True)
+    s_hbm = fused_incremental_sample(params, cfg, c_up, seed=5, chunk=16,
+                                     interpret=True, hbm_delay_threshold=4,
+                                     window=4)
+    np.testing.assert_allclose(np.asarray(s_hbm), np.asarray(s_vmem),
+                               atol=2e-4, rtol=1e-3)
+
+
+def _setup_categorical(layers=4, B=2, frames=12, Q=256, temp=30000.0):
+    """mulaw-quantize head. The interpret-mode TPU PRNG yields all-zero bits
+    (u collapses to the 2^-25 floor), so kernel draws cannot be compared to
+    the scan sampler's threefry draws; the tests below use PRNG-independent
+    oracles instead. temp sharpens logits so trajectories are near-argmax."""
+    cfg = Config()
+    cfg = cfg.replace(
+        wavenet=dataclasses.replace(
+            cfg.wavenet, layers=layers, stacks=2, residual_channels=128,
+            gate_channels=256, skip_out_channels=128, upsample_scales=(2, 2),
+            cin_channels=80, out_channels=Q, input_type="mulaw-quantize",
+            quantize_channels=Q),
+        audio=dataclasses.replace(cfg.audio, num_mels=80))
+    T = frames * 4
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(0, 1, (B, frames, 80)), jnp.float32)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
+        jnp.zeros((B, T, Q)), c, train=False)
+    params = variables["params"]
+    fc2 = params["final_convolution_2"]["Dense_0"]
+    fc2["kernel"] = fc2["kernel"] * temp
+    fc2["bias"] = fc2["bias"] * temp
+    c_up = model.apply({"params": params}, c, method=WaveNet.upsample)
+    return cfg, params, c_up
+
+
+def test_fused_sampler_categorical_matches_teacher_forced_oracle():
+    """Conv-stack + inverse-CDF parity without comparable PRNG streams:
+    teacher-force the XLA scan sampler along the FUSED kernel's own output
+    trajectory to recover the logits the kernel saw at every step, then
+    assert each fused pick equals the inverse-CDF pick at u = 2^-25 + 2^-26
+    (the all-zero-bits floor of the interpret-mode TPU PRNG)."""
+    cfg, params, c_up = _setup_categorical()
+    Q = cfg.wavenet.quantize_channels
+    s_fused = np.asarray(fused_incremental_sample(
+        params, cfg, c_up, seed=9, chunk=16, interpret=True))
+    # scan with test_inputs follows the fused trajectory exactly: the input
+    # override at step t is one_hot(fused sample at t) (sampler.py:216-218)
+    tf_inputs = jax.nn.one_hot(jnp.asarray(s_fused, jnp.int32), Q)
+    _, y_hat = incremental_sample(params, cfg, c_up, jax.random.PRNGKey(0),
+                                  test_inputs=tf_inputs)
+    yh = np.asarray(y_hat, np.float32)                 # [B, T, Q]
+    u_floor = np.float32(1.0 / (1 << 25) + 0.5 / (1 << 25))
+    e = np.exp(yh - yh.max(-1, keepdims=True))
+    cum = np.cumsum(e.astype(np.float32), axis=-1, dtype=np.float32)
+    expected = (u_floor * cum[..., -1:] < cum).argmax(-1)  # first True
+    np.testing.assert_array_equal(s_fused, expected)
+
+
+def test_inverse_cdf_onehot_distribution():
+    """_inverse_cdf_onehot (pure JAX, outside pallas) draws from the same
+    categorical distribution as the reference's tf.multinomial semantics:
+    empirical frequencies over real uniforms match the softmax."""
+    from tacotron2_tpu.ops.wavenet_kernel import _HeadPlan
+    logits = jnp.asarray([[1.0, 0.0, 2.0, -1.0, 0.5, 0.0, 0.0, 1.5]])
+    probs = np.asarray(jax.nn.softmax(logits))[0]
+    n = 4000
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n,))
+    onehots = jax.vmap(
+        lambda ui: _HeadPlan._inverse_cdf_onehot(logits, ui[None]))(u)
+    freq = np.asarray(onehots).mean(axis=0)[0]
+    assert np.all(np.abs(freq - probs) < 4.0 / np.sqrt(n)), (freq, probs)
+    # every draw is exactly one-hot
+    assert np.all(np.asarray(onehots).sum(-1) == 1.0)
+
 
 
 def test_fused_sampler_bf16_cache_close():
