@@ -142,9 +142,11 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
     def make_cond(key, batch):
         return jax.random.uniform(key, (batch, T, cfg.wavenet.cin_channels))
 
-    def time_config(batch, cache_dtype, threshold=None):
-        c_up = make_cond(jax.random.PRNGKey(42), batch)
-        run = build_sampler_kernel(cfg, batch, T, chunk=chunk,
+    def time_config(batch, cache_dtype, threshold=None, T_cfg=None,
+                    iters=3):
+        T_cfg = T_cfg or T
+        c_up = make_cond(jax.random.PRNGKey(42), batch)[:, :T_cfg]
+        run = build_sampler_kernel(cfg, batch, T_cfg, chunk=chunk,
                                    cache_dtype=cache_dtype,
                                    weight_dtype=cache_dtype,
                                    hbm_delay_threshold=threshold,
@@ -158,7 +160,6 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
             return float(jnp.sum(x[:, -1]))
 
         sync(run(sp, c_up, 7))  # compile
-        iters = 3
         t0 = time.perf_counter()
         for i in range(iters):
             out = run(sp, c_up, 8 + i)
@@ -173,8 +174,12 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
         batch=B, samples=T)
 
     if _remaining() > 60:
-        exact_dt = time_config(B_exact, jnp.float32)
-        res["exact_f32_audio_s_per_s"] = B_exact * T / exact_dt / sr
+        # bit-exact all-VMEM f32 config: a quality/parity detail, timed on a
+        # short clip (it runs ~4x slower than the headline; a full-length
+        # 3-iter measurement alone cost ~6 min of round-1 budget)
+        T_exact = 7 * chunk
+        exact_dt = time_config(B_exact, jnp.float32, T_cfg=T_exact, iters=1)
+        res["exact_f32_audio_s_per_s"] = B_exact * T_exact / exact_dt / sr
         res["batch_exact"] = B_exact
 
     # XLA scan baseline: its 20-layer scan body takes ~5 min to XLA-compile

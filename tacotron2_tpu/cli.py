@@ -312,6 +312,15 @@ def cmd_disc_train(args):
                stacks_dir=args.stacks_dir)
 
 
+def cmd_emt_disc_train(args):
+    from .disc.train import emt_disc_train
+    cfg = get_config(args.preset, args.hparams)
+    emt_disc_train(cfg, args.input_path, args.base_dir,
+                   train_steps=args.train_steps,
+                   batch_size=args.batch_size,
+                   n_classes=args.n_classes)
+
+
 def cmd_disc_preprocess(args):
     from .disc.data_preprocess import build_speaker_stacks
     cfg = get_config(args.preset, args.hparams)
@@ -461,6 +470,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="train on TI-SV speaker stacks from disc-preprocess "
                          "instead of train.txt metadata")
     dt.set_defaults(func=cmd_disc_train)
+
+    et = sub.add_parser("emt-disc-train",
+                        help="standalone CNN+GRU emotion classifier "
+                             "(reference emt_disc/train.py)")
+    et.add_argument("--input-path", required=True)
+    et.add_argument("--train-steps", type=int, default=2000)
+    et.add_argument("--batch-size", type=int, default=32)
+    et.add_argument("--n-classes", type=int, default=4)
+    et.set_defaults(func=cmd_emt_disc_train)
 
     dp = sub.add_parser("disc-preprocess",
                         help="extract TI-SV per-speaker log-mel stacks from "

@@ -110,6 +110,9 @@ class StyleConfig:
     # Tacotron_emt_attn variant knobs (tacotron_emt_attn.py:29-285)
     emt_attn: bool = False             # decoder attends over emt-ref timesteps
     emt_attn_type: str = "simple"      # {simple, multihead, style_tokens}
+    # 0.1*||E_spk||_F penalty replacing orthogonality in the emt_attn
+    # variant (tacotron_emt_attn.py:691-695, --l2_spk_emb flag train.py:154)
+    l2_spk_emb: bool = False
     emt_ref_gru: str = "gru"           # {gru, gru_multi, none}
     adain: bool = False                # ReferenceEncoderAdaIn variant
 

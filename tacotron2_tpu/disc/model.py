@@ -51,6 +51,31 @@ class DiscriminatorModel(nn.Module):
         return emb, None
 
 
+class EmtDisc(nn.Module):
+    """Standalone CNN+GRU emotion classifier (reference emt_disc/networks.py:5-37).
+
+    Structurally a full-size ReferenceEncoder (6x conv2d stride-2 [32,32,64,
+    64,128,128] + BN/relu, GRU(128), dense(128, tanh) on the last GRU
+    output) followed by a dense logit head — but WITHOUT the embedding
+    normalization the GE2E discriminators apply, and trained with plain CE
+    (emt_disc/train.py:29-36, Adam 1e-4).
+    """
+
+    config: Config
+    n_classes: int = 4           # emt4 corpus (networks.py:35 dense(emb, 4))
+
+    def setup(self):
+        # full-size filter stack regardless of the gst config (networks.py:11)
+        self.encoder = ReferenceEncoder((32, 32, 64, 64, 128, 128), 128,
+                                        name="emt_disc")
+        self.logit_head = nn.Dense(self.n_classes, kernel_init=glorot,
+                                   name="emt_disc_logit")
+
+    def __call__(self, mels, *, train: bool = False):
+        emb = self.encoder(mels, train=train)     # [N, 128] (dense tanh out)
+        return emb, self.logit_head(emb)
+
+
 def similarity_matrix(embedded, w, b, N: int, M: int) -> jnp.ndarray:
     """GE2E eq.(9) similarity [N·M, N] with own-center exclusion (utils.py:129-153)."""
     P = embedded.shape[-1]

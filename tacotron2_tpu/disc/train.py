@@ -208,6 +208,86 @@ def disc_train(cfg: Config, input_path: str, base_dir: str, *,
     return ckpt_dir, params
 
 
+def emt_disc_train(cfg: Config, input_path: str, base_dir: str, *,
+                   train_steps: int = 2000, batch_size: int = 32,
+                   learning_rate: float = 1e-4, eval_interval: int = 10,
+                   checkpoint_interval: int = 20, n_classes: int = 4,
+                   test_size: float = 0.05, seed: int = 1234):
+    """Standalone CNN+GRU emotion classifier trainer (emt_disc/train.py:11-82).
+
+    Reference recipe: Adam 1e-4 on softmax CE over emt labels, val loss/acc
+    every 10 batches, checkpoint every 20; here the feeder's train/val split
+    mirrors the Tacotron feeder's seed-1234 convention.
+    """
+    from .model import EmtDisc
+
+    feeder = DiscFeeder(cfg, input_path, kind="emt", seed=seed)
+    # seed-1234 held-out split per class (tacotron feeder convention)
+    rng = np.random.default_rng(seed)
+    val_rows = []
+    for c, rows in feeder.by_class.items():
+        n_val = max(1, int(len(rows) * test_size))
+        idx = rng.permutation(len(rows))
+        val_rows += [rows[i] for i in idx[:n_val]]
+        feeder.by_class[c] = [rows[i] for i in idx[n_val:]] or rows
+
+    model = EmtDisc(config=cfg, n_classes=n_classes)
+    it = feeder.batches(N=min(n_classes, len(feeder.classes)),
+                        M=max(1, batch_size // max(1, len(feeder.classes))))
+    batch = next(it)
+    variables = model.init(dict(params=jax.random.PRNGKey(0)),
+                           jnp.asarray(batch["mels"]), train=True)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, bs, mels, labels, train):
+        (emb, logits), updates = model.apply(
+            {"params": p, "batch_stats": bs}, mels, train=train,
+            mutable=["batch_stats"])
+        loss, acc = disc_ce_loss(logits, labels, n_classes)
+        return loss, (acc, updates.get("batch_stats", bs))
+
+    @jax.jit
+    def step(p, bs, opt, mels, labels):
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, mels, labels, True)
+        updates, new_opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), new_bs, new_opt, loss, acc
+
+    @jax.jit
+    def eval_step(p, bs, mels, labels):
+        loss, (acc, _) = loss_fn(p, bs, mels, labels, False)
+        return loss, acc
+
+    def _eval():
+        mels = np.stack([feeder._load_crop(r) for r in val_rows])
+        labels = np.asarray([int(float(r[8])) for r in val_rows], np.int32)
+        return eval_step(params, batch_stats, jnp.asarray(mels),
+                         jnp.asarray(labels))
+
+    ckpt_dir = os.path.join(base_dir, "emt_disc")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=20)
+    loss_w, acc_w = ValueWindow(eval_interval), ValueWindow(eval_interval)
+    for i in range(1, train_steps + 1):
+        b = next(it)
+        params, batch_stats, opt_state, loss, acc = step(
+            params, batch_stats, opt_state, jnp.asarray(b["mels"]),
+            jnp.asarray(b["labels"]))
+        loss_w.append(float(loss))
+        acc_w.append(float(acc))
+        if i % eval_interval == 0:
+            vl, va = _eval()
+            log(f"emt_disc batches {i} | tr loss {loss_w.average:5.3f} | "
+                f"val loss {float(vl):5.3f} | tr acc {acc_w.average*100:4.1f}% "
+                f"| val acc {float(va)*100:4.1f}%")
+        if i % checkpoint_interval == 0 or i == train_steps:
+            mgr.save(i, {"params": params, "batch_stats": batch_stats})
+    mgr.close()
+    log(f"emt_disc training done -> {ckpt_dir}")
+    return ckpt_dir, params
+
+
 def load_pretrained_disc(ckpt_dir: str, template_params) -> dict:
     """Load a trained disc checkpoint for import into the Tacotron model."""
     mgr = CheckpointManager(ckpt_dir)

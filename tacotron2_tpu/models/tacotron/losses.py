@@ -202,7 +202,18 @@ def compute_losses(out: TacotronOutput, batch: Dict[str, Any], params,
                     out.style_emb_logit_mel_out_up_spk, spk_up_oh)
 
     # orthogonality: 0.02·‖E_emt·E_spkᵀ‖_F (tacotron.py:840-848)
-    if gst.use_orthog_loss and not emt_only and not gst.adain and \
+    if gst.emt_attn:
+        # emt_attn variant: no emt/spk orthogonality (the emt path is a
+        # sequence); optional l2_spk_emb penalty 0.1·‖E_spk‖_F instead
+        # (tacotron_emt_attn.py:691-695)
+        if gst.l2_spk_emb and not emt_only and \
+                gst.emt_attn_type != "style_tokens" and \
+                out.refnet_out_spk is not None:
+            orthog = 0.1 * jnp.linalg.norm(out.refnet_out_spk)
+            if use_unpaired and out.refnet_out_up_spk is not None:
+                orthog = 0.1 * (jnp.linalg.norm(out.refnet_out_spk)
+                                + jnp.linalg.norm(out.refnet_out_up_spk))
+    elif gst.use_orthog_loss and not emt_only and not gst.adain and \
             not pretrained_emb_disc_all and out.refnet_out_spk is not None:
         orthog = 0.02 * jnp.linalg.norm(out.refnet_out_emt @ out.refnet_out_spk.T)
         if use_unpaired and out.refnet_out_up_spk is not None:

@@ -242,3 +242,28 @@ def test_disc_test_roundtrip(tmp_path):
     assert cm.sum() == 12
     assert os.path.exists(tmp_path / "disc_test" / "confusion_emt.png")
     assert os.path.exists(tmp_path / "disc_test" / "disc_test_emt.csv")
+
+
+def test_emt_disc_standalone(tmp_path):
+    """Standalone CNN+GRU emotion classifier (reference emt_disc/): a few CE
+    steps on a fake corpus run, checkpoint lands, loss finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.disc.model import EmtDisc
+    from tacotron2_tpu.disc.train import emt_disc_train
+
+    cfg = tiny_config()
+    path = _fake_corpus(tmp_path, cfg, n=8, frames=16)
+    ckpt_dir, params = emt_disc_train(
+        cfg, path, str(tmp_path / "run"), train_steps=4, batch_size=4,
+        n_classes=4, eval_interval=2, checkpoint_interval=4)
+    assert os.path.isdir(ckpt_dir)
+    # net shape parity with networks.py: 128-d tanh embedding + 4 logits
+    model = EmtDisc(config=cfg, n_classes=4)
+    mels = jnp.asarray(np.zeros((2, 16, cfg.audio.num_mels), np.float32))
+    variables = model.init(dict(params=jax.random.PRNGKey(0)), mels,
+                           train=False)
+    emb, logits = model.apply(variables, mels, train=False)
+    assert emb.shape == (2, 128) and logits.shape == (2, 4)
+    assert np.all(np.abs(np.asarray(emb)) <= 1.0)  # tanh output

@@ -184,3 +184,30 @@ def test_unpaired_second_pass():
         mutable=["batch_stats"])
     assert out.mel_outputs_up is not None
     assert out.refnet_out_mel_up_emt is not None
+
+
+def test_emt_attn_l2_spk_emb_loss():
+    """l2_spk_emb variant (tacotron_emt_attn.py:691-695): the orthogonality
+    slot carries 0.1*||E_spk||_F instead, and only for the emt_attn model."""
+    cfg = tiny_config(emt_attn=True, emt_attn_type="simple", l2_spk_emb=True)
+    model = Tacotron(config=cfg)
+    batch = make_batch()
+    variables = model.init(
+        RNGS, batch["inputs"], batch["input_lengths"],
+        mel_targets=batch["mel_targets"], ref_mel_emt=batch["ref_mel_emt"],
+        ref_mel_spk=batch["ref_mel_spk"], train=True)
+    out, _ = model.apply(
+        variables, batch["inputs"], batch["input_lengths"],
+        mel_targets=batch["mel_targets"], ref_mel_emt=batch["ref_mel_emt"],
+        ref_mel_spk=batch["ref_mel_spk"], train=True,
+        rngs={k: v for k, v in RNGS.items() if k != "params"},
+        mutable=["batch_stats"])
+    losses = compute_losses(out, batch, variables["params"], cfg)
+    expected = 0.1 * float(jnp.linalg.norm(out.refnet_out_spk))
+    got = float(losses["style_emb_orthog_loss"])
+    assert got > 0.0
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    # without the flag: zero in the emt_attn variant
+    cfg0 = tiny_config(emt_attn=True, emt_attn_type="simple")
+    losses0 = compute_losses(out, batch, variables["params"], cfg0)
+    assert float(losses0["style_emb_orthog_loss"]) == 0.0
