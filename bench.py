@@ -354,6 +354,15 @@ def bench_training(cfg):
     return out
 
 
+def _timed(name, fn):
+    t0 = time.time()
+    try:
+        return fn()
+    finally:
+        _state["detail"].setdefault("section_s", {})[name] = round(
+            time.time() - t0, 1)
+
+
 def main():
     _enable_compile_cache()
     _start_watchdog()
@@ -368,7 +377,7 @@ def main():
 
     # --- headline: fused vocoder sampler ---------------------------------
     try:
-        voc = bench_vocoder(cfg)
+        voc = _timed('vocoder', lambda: bench_vocoder(cfg))
         sections["vocoder"] = voc
         detail.update(
             model="WaveNet 20L/128R Gaussian, fused Pallas sampler "
@@ -389,7 +398,7 @@ def main():
     # --- paper-preset MoL fused sampler ----------------------------------
     if _remaining() > 210:
         try:
-            mol = bench_vocoder_mol()
+            mol = _timed('mol', bench_vocoder_mol)
             detail["mol_paper_audio_s_per_s"] = round(
                 mol["mol_paper_audio_s_per_s"], 1)
             detail["mol_us_per_step"] = round(mol["mol_us_per_step"], 2)
@@ -401,7 +410,7 @@ def main():
     # --- tacotron fused decode -------------------------------------------
     if _remaining() > 75:
         try:
-            taco = bench_tacotron_decode(cfg)
+            taco = _timed('taco', lambda: bench_tacotron_decode(cfg))
             sections["tacotron_decode"] = taco
             detail["tacotron_decode_audio_s_per_s"] = round(
                 taco["mel_audio_s_per_s"], 1)
@@ -415,7 +424,7 @@ def main():
     # --- Griffin-Lim (BASELINE config[0]) --------------------------------
     if _remaining() > 45:
         try:
-            glt = bench_griffin_lim(cfg)
+            glt = _timed('gl', lambda: bench_griffin_lim(cfg))
             sections["griffin_lim"] = glt
             detail["griffin_lim_audio_s_per_s"] = round(glt, 1)
         except Exception as e:  # pragma: no cover
@@ -432,7 +441,7 @@ def main():
     # --- training throughput (both models, bf16 configs) -----------------
     if _remaining() > 90:
         try:
-            detail.update(bench_training(cfg))
+            detail.update(_timed('train', lambda: bench_training(cfg)))
         except Exception as e:  # pragma: no cover
             detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     else:

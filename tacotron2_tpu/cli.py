@@ -65,6 +65,11 @@ def cmd_create_metadata(args):
                     emt_label=args.emt_label, sex=args.sex)
 
 
+def cmd_vctk_accent(args):
+    from .data.preprocess import vctk_accent_relabel
+    vctk_accent_relabel(args.train_path, args.speaker_info, args.out_path)
+
+
 def cmd_train(args):
     from .parallel.mesh import maybe_initialize_distributed
     if maybe_initialize_distributed():
@@ -99,6 +104,8 @@ def cmd_train(args):
                        batch_size=args.batch_size,
                        feeder_kwargs=feeder_kwargs,
                        trainer_kwargs=trainer_kwargs,
+                       pretrained_disc_emt=args.pretrained_disc_emt,
+                       pretrained_disc_spk=args.pretrained_disc_spk,
                        save_output_vars=args.save_output_vars,
                        **profile_kwargs)
     elif args.model == "WaveNet":
@@ -391,10 +398,19 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("--in-dir", required=True)
     cm.add_argument("--out-path", required=True)
     cm.add_argument("--layout", default="ljspeech",
-                    choices=["ljspeech", "folders"])
+                    choices=["ljspeech", "folders", "emt4", "jessa", "emth",
+                             "librispeech", "vctk"])
     cm.add_argument("--emt-label", type=int, default=0)
     cm.add_argument("--sex", default="U")
     cm.set_defaults(func=cmd_create_metadata)
+
+    va = sub.add_parser("vctk-accent-relabel",
+                        help="rewrite a VCTK train.txt with accent-index "
+                             "labels (reference metadata.py:232-261)")
+    va.add_argument("--train-path", required=True)
+    va.add_argument("--speaker-info", required=True)
+    va.add_argument("--out-path", required=True)
+    va.set_defaults(func=cmd_vctk_accent)
 
     tr = sub.add_parser("train")
     tr.add_argument("--model", default="Tacotron",
@@ -413,6 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="step at which to start a jax.profiler device trace")
     tr.add_argument("--profile-end", type=int, default=None)
     # fork feature flags (reference train.py:94-158)
+    tr.add_argument("--pretrained-disc-emt", default=None,
+                    help="emotion discriminator checkpoint to graft into "
+                         "pretrained_ref_enc_emt (TF .ckpt dir or orbax)")
+    tr.add_argument("--pretrained-disc-spk", default=None,
+                    help="speaker discriminator checkpoint for "
+                         "pretrained_ref_enc_spk")
     for flag in ["emt-only", "intercross-both", "unpaired", "adv-emb-disc",
                  "nat-gan", "opt-ref-no-mo", "pretrained-emb-disc",
                  "pretrained-emb-disc-all", "remove-long-samps",

@@ -261,6 +261,10 @@ class WaveNetConfig:
     dropout: float = 0.05
     weight_normalization: bool = False
     init_scale: float = 1.0
+    # Salimans-Kingma data-dependent init forward pass at fresh-training
+    # start (reference modules.py:110-126, train.py:287-298); only takes
+    # effect with weight_normalization=True
+    data_dependent_init: bool = True
     # rematerialize each gated residual block in the backward pass
     # (jax.checkpoint): activations of the 11k-sample training crops are
     # HBM-bandwidth-bound; recompute beats spilling at batch >8 — the

@@ -282,7 +282,19 @@ def create_metadata(in_dir: str, out_path: str, layout: str = "ljspeech",
       `wavs/` — single speaker, neutral emotion.
     - folders: one subdirectory per speaker, each with `*.wav` + matching
       `*.txt` transcripts (vctk/librispeech-style flattened).
+    - emt4 / jessa / emth / librispeech / vctk: the reference's corpus-
+      specific builders (datasets/metadata.py:12-229), reimplemented
+      against the same on-disk layouts.
     """
+    corpus = {"emt4": _metadata_emt4, "jessa": _metadata_jessa,
+              "emth": _metadata_emth, "librispeech": _metadata_librispeech,
+              "vctk": _metadata_vctk}
+    if layout in corpus:
+        rows = corpus[layout](in_dir)
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(rows) + "\n")
+        print(f"Wrote {len(rows)} metadata rows -> {out_path}")
+        return out_path
     rows = []
     if layout == "ljspeech":
         with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
@@ -311,6 +323,176 @@ def create_metadata(in_dir: str, out_path: str, layout: str = "ljspeech",
     with open(out_path, "w", encoding="utf-8") as f:
         f.write("\n".join(rows) + "\n")
     print(f"Wrote {len(rows)} metadata rows -> {out_path}")
+    return out_path
+
+
+def _walk_audio(folder_wav: str):
+    """All audio files under a tree as (relpath-from-two-up, basename)."""
+    out = []
+    for root, _, files in os.walk(folder_wav, topdown=True):
+        for f in sorted(files):
+            if not (f.endswith(".wav") or f.endswith(".flac")):
+                continue
+            rel = os.path.join(os.path.basename(os.path.dirname(root)),
+                               os.path.basename(root), f)
+            out.append((rel.replace("\\", "/"), root, f))
+    return out
+
+
+def _metadata_emt4(in_dir: str):
+    """STCM-101/Zo layout (metadata.py:12-39): wavs under Wav/, scripts +
+    emotion labels in ../all_txt_wav.txt rows `filename|script|emt`."""
+    table = {}
+    with open(os.path.join(in_dir, "all_txt_wav.txt"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) >= 3:
+                table[int(parts[0])] = (parts[1], int(float(parts[2])))
+    rows = []
+    for rel, _, fname in _walk_audio(os.path.join(in_dir, "Wav")):
+        script, emt = table[int(fname.split(".")[0])]
+        rows.append(f"{rel}|{script}|{emt}|0|F")
+    return rows
+
+
+def _metadata_jessa(in_dir: str):
+    """Jessa layout (metadata.py:41-73): wavs under wave16kNormalized/,
+    per-folder tab-separated transcripts in TextScripts_UTF8/<folder>.txt."""
+    wav_root = os.path.join(in_dir, "wave16kNormalized")
+    rows = []
+    cache = {}
+    for rel, root, fname in _walk_audio(wav_root):
+        folder = os.path.basename(root)
+        if folder not in cache:
+            table = {}
+            path = os.path.join(in_dir, "TextScripts_UTF8", folder + ".txt")
+            with open(path, encoding="utf-8") as f:
+                for j, line in enumerate(f):
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        key = parts[0][3:] if j == 0 else parts[0]  # BOM fix
+                        table[key] = parts[1]
+            cache[folder] = table
+        script = cache[folder][fname.split(".")[0]]
+        rows.append(f"{rel}|{script}|0|1|F")
+    return rows
+
+
+def _metadata_emth(in_dir: str):
+    """Harriton layout (metadata.py:75-111): tab-separated all_txt_wav.txt;
+    emotion from the filename's leading digit with the Zo-alignment swap
+    (harriton angry=1 -> zo 2, sad=2 -> 1, 3 -> 3; metadata.py:89-92)."""
+    swap = {"1": 2, "2": 1, "3": 3}
+    table = {}
+    with open(os.path.join(in_dir, "all_txt_wav.txt"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                table[parts[0]] = (parts[1], swap.get(parts[0][:1], 0))
+    rows = []
+    for rel, _, fname in _walk_audio(os.path.join(in_dir,
+                                                  "Wave16kNormalized")):
+        script, emt = table[fname.split(".")[0]]
+        rows.append(f"{rel}|{script}|{emt}|1|M")
+    return rows
+
+
+def _metadata_librispeech(in_dir: str):
+    """LibriSpeech layout (metadata.py:113-168): train-clean-100/<spk>/<book>
+    with <spk>-<book>.trans.txt transcripts and SPEAKERS.TXT sexes."""
+    sexes = {}
+    spk_path = os.path.join(in_dir, "SPEAKERS.TXT")
+    if os.path.exists(spk_path):
+        with open(spk_path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith(";"):
+                    continue
+                parts = [x.strip() for x in line.split("|")]
+                if len(parts) >= 2 and parts[0].isdigit():
+                    sexes[int(parts[0])] = parts[1]
+    rows = []
+    wav_root = os.path.join(in_dir, "train-clean-100")
+    for rel, root, fname in _walk_audio(wav_root):
+        spk = os.path.basename(os.path.dirname(root))
+        book = os.path.basename(root)
+        trans = os.path.join(root, f"{spk}-{book}.trans.txt")
+        name = fname.split(".")[0]
+        script = None
+        with open(trans, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split(" ")
+                if parts[0] == name:
+                    script = " ".join(parts[1:])[:-1]  # strip newline
+                    break
+        sex = sexes.get(int(spk), "N")
+        rows.append(f"{spk}/{book}/{fname}|{script}|0|{spk}|{sex}")
+    return rows
+
+
+def _read_speaker_info(path: str):
+    """VCTK speaker-info.csv: ID-indexed rows with SEX/ACCENTS/REGION."""
+    info = {}
+    with open(path, encoding="utf-8") as f:
+        header = [h.strip().upper() for h in f.readline().split(",")]
+        idx = {h: i for i, h in enumerate(header)}
+        for line in f:
+            parts = [x.strip() for x in line.split(",")]
+            if not parts[0] or not parts[0].isdigit():
+                continue
+            info[int(parts[0])] = dict(
+                sex=parts[idx.get("SEX", 1)] if len(parts) > 1 else "N",
+                accent=parts[idx.get("ACCENTS", 2)] if len(parts) > 2 else "NA",
+                region=parts[idx.get("REGION", 3)] if len(parts) > 3 else "NA")
+    return info
+
+
+def _metadata_vctk(in_dir: str):
+    """VCTK layout (metadata.py:170-229): wav48/<pNNN>/*.wav, txt/<pNNN>/
+    transcripts, speaker-info.csv; strips wrapping quotes; emits the
+    7-column variant with accent|region."""
+    info = _read_speaker_info(os.path.join(in_dir, "speaker-info.csv"))
+    rows = []
+    wav_root = os.path.join(in_dir, "wav48")
+    for rel, root, fname in _walk_audio(wav_root):
+        spk_name = os.path.basename(root)
+        spk_id = int(spk_name[1:])
+        meta = info.get(spk_id, dict(sex="N", accent="NA", region="NA"))
+        name = fname.split(".")[0]
+        txt = os.path.join(in_dir, "txt", spk_name, name + ".txt")
+        if not os.path.exists(txt):
+            continue
+        with open(txt, encoding="utf-8") as f:
+            script = f.read()
+        if script.startswith('"'):
+            script = script[1:]
+        if script.endswith('"'):
+            script = script[:-1]
+        rows.append(f"wav48/{spk_name}/{fname}|{script[:-1]}|0|{spk_id}|"
+                    f"{meta['sex']}|{meta['accent']}|{meta['region']}")
+    return rows
+
+
+def vctk_accent_relabel(train_path: str, speaker_info_csv: str,
+                        out_path: str) -> str:
+    """Rewrite a VCTK train.txt with accent-index emt labels
+    (vctk_metadata_accent, metadata.py:232-261): the emt column (index 8)
+    becomes the speaker's accent id in the sorted unique accent list."""
+    info = _read_speaker_info(speaker_info_csv)
+    accents = sorted({v["accent"] for v in info.values()})
+    out = []
+    with open(train_path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            name = parts[10].split("_")[0][1:]
+            try:
+                parts[8] = str(accents.index(info[int(name)]["accent"]))
+            except (KeyError, ValueError):
+                print("couldn't find speaker:", name)
+                continue
+            out.append("|".join(parts))
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"Wrote {len(out)} accent-relabeled rows -> {out_path}")
     return out_path
 
 

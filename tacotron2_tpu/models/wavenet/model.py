@@ -174,3 +174,56 @@ def compute_wavenet_loss(out: WaveNetOutput, y_target, lengths,
             lambda yh, yy, reduce=False: fn(yh, yy, reduce), y_hat, y,
             lengths - 1)
     return {"loss": loss}
+
+
+def data_dependent_init(model, params, x, c=None, g=None, *,
+                        init_scale: float = 1.0):
+    """Salimans-Kingma data-dependent initialization of weight-normed convs.
+
+    Reference WeightNorm._data_dep_init (wavenet modules.py:110-126), run as
+    a fresh-training forward pass (train.py:287-298): for each weight-normed
+    layer IN EXECUTION ORDER, compute per-channel moments (m, v) of its
+    pre-activation output on the init batch and assign
+        g <- g * init_scale / sqrt(v + 1e-10),  bias <- -m * scale.
+    Sequential like the reference (layer k's moments see layers 1..k-1
+    already initialized), so one forward pass per weight-normed conv. Runs
+    with train=False (deterministic moments; the reference's init pass kept
+    dropout active, which only adds noise to the estimates).
+
+    Returns the updated params tree.
+    """
+    import copy
+
+    params = copy.deepcopy(jax.device_get(params))
+
+    def capture():
+        _, st = model.apply({"params": params}, x, c, g, train=False,
+                            mutable=["intermediates"])
+        found = []
+
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    if k == "wn_out":
+                        found.append((path, v[0]))
+                    else:
+                        walk(v, path + (k,))
+        walk(st["intermediates"], ())
+        return found
+
+    order = [path for path, _ in capture()]
+    for target in order:
+        out = dict(capture())[target]
+        sub = params
+        for k in target:
+            sub = sub[k]
+        if "g" not in sub:   # non-weight-normed conv also sows; skip
+            continue
+        axes = tuple(range(out.ndim - 1))
+        m = np.asarray(jnp.mean(out, axis=axes), np.float32)
+        v = np.asarray(jnp.var(out, axis=axes), np.float32)
+        scale = init_scale / np.sqrt(v + 1e-10)
+        sub["g"] = jnp.asarray(np.asarray(sub["g"]) * scale)
+        if "bias" in sub:
+            sub["bias"] = jnp.asarray(-m * scale)
+    return params

@@ -75,6 +75,7 @@ class CausalConv1D(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
             y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
+        self.sow("intermediates", "wn_out", y)
         return y
 
 
@@ -102,6 +103,7 @@ class Conv1x1(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
             y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
+        self.sow("intermediates", "wn_out", y)
         return y
 
 

@@ -37,6 +37,8 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
                    eval_sentences=None, feeder_kwargs: Optional[dict] = None,
                    trainer_kwargs: Optional[dict] = None,
                    pad_text_multiple: int = 16, pad_mel_multiple: int = 128,
+                   pretrained_disc_emt: Optional[str] = None,
+                   pretrained_disc_spk: Optional[str] = None,
                    checkpoint_interval: Optional[int] = None,
                    eval_interval: Optional[int] = None,
                    profile_start: Optional[int] = None,
@@ -74,6 +76,37 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
             lambda n: "pretrained" in n))
         state = restored
         log(f"Restored checkpoint at step {int(state.step)}")
+
+    # graft pretrained emt/spk discriminator encoders into the
+    # pretrained_ref_enc_{emt,spk} scopes (reference tacotron/train.py:
+    # 280-285,331-340). Accepts the reference's shipped TF checkpoints
+    # (disc/tf_import.py) or this repo's own orbax disc checkpoints.
+    for kind, path in (("emt", pretrained_disc_emt),
+                       ("spk", pretrained_disc_spk)):
+        if not path:
+            continue
+        from ..disc.tf_import import is_tf_checkpoint, load_tf_disc_checkpoint
+        scope = f"pretrained_ref_enc_{kind}"
+        if is_tf_checkpoint(path):
+            loaded = load_tf_disc_checkpoint(path)
+            sub, sub_stats = loaded["params"], loaded["batch_stats"]
+            src = "TF"
+        else:
+            from ..disc.train import load_pretrained_disc
+            restored = load_pretrained_disc(path, state.params[scope])
+            sub = restored["params"].get("pretrained_ref_enc",
+                                         restored["params"])
+            sub_stats = restored.get("batch_stats", {}).get(
+                "pretrained_ref_enc", {})
+            src = "orbax"
+        from .checkpoint import import_pretrained_subtree
+        state = state._replace(params=import_pretrained_subtree(
+            state.params, sub, scope))
+        if sub_stats and hasattr(state, "batch_stats") and                 state.batch_stats is not None and scope in state.batch_stats:
+            bs = dict(state.batch_stats)
+            bs[scope] = sub_stats
+            state = state._replace(batch_stats=bs)
+        log(f"Imported pretrained {kind} discriminator ({src}) from {path}")
 
     mesh = make_mesh() if use_mesh and jax.device_count() > 1 else None
     step_fn = jax.jit(trainer.train_step)

@@ -38,6 +38,15 @@ class WaveNetTrainer:
             dict(params=rng, dropout=jax.random.PRNGKey(0)),
             batch["x"], batch["c"], g, train=True)
         params = variables["params"]
+        wn = self.cfg.wavenet
+        if wn.weight_normalization and wn.data_dependent_init:
+            from ..models.wavenet.model import data_dependent_init
+            from ..utils.infolog import log
+            log("Applying weight normalization data-dependent init "
+                "forward pass (reference wavenet train.py:287-298)")
+            params = data_dependent_init(self.model, params, batch["x"],
+                                         batch["c"], g,
+                                         init_scale=wn.init_scale)
         return WaveNetTrainState(
             step=jnp.zeros((), jnp.int32), params=params, ema_params=params,
             opt_state=self.tx.init(params))

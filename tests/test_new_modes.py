@@ -267,3 +267,93 @@ def test_emt_disc_standalone(tmp_path):
     emb, logits = model.apply(variables, mels, train=False)
     assert emb.shape == (2, 128) and logits.shape == (2, 4)
     assert np.all(np.abs(np.asarray(emb)) <= 1.0)  # tanh output
+
+
+def test_corpus_metadata_builders(tmp_path):
+    """Corpus-specific manifest builders (reference datasets/metadata.py)
+    against tiny synthetic trees with the same on-disk layouts."""
+    from tacotron2_tpu.data.preprocess import create_metadata
+
+    # --- emt4: Wav tree + all_txt_wav.txt `name|script|emt`
+    emt4 = tmp_path / "emt4src"
+    (emt4 / "Wav" / "sess" / "a").mkdir(parents=True)
+    for i, emt in [(1, 0), (2, 2)]:
+        (emt4 / "Wav" / "sess" / "a" / f"{i:07d}.wav").write_bytes(b"")
+    (emt4 / "all_txt_wav.txt").write_text(
+        "0000001|hello there|0\n0000002|angry words|2\n")
+    out = create_metadata(str(emt4), str(tmp_path / "m_emt4.txt"),
+                          layout="emt4")
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    assert len(rows) == 2
+    assert rows[0][1] == "hello there" and rows[0][2] == "0"
+    assert rows[1][2] == "2" and rows[0][3] == "0" and rows[0][4] == "F"
+
+    # --- emth: tab transcript + leading-digit emotion with Zo swap 1<->2
+    emth = tmp_path / "emthsrc"
+    (emth / "Wave16kNormalized" / "x" / "y").mkdir(parents=True)
+    for name in ("1_0001", "2_0001"):
+        (emth / "Wave16kNormalized" / "x" / "y" / f"{name}.wav").write_bytes(b"")
+    (emth / "all_txt_wav.txt").write_text(
+        "1_0001\tangry line\n2_0001\tsad line\n")
+    out = create_metadata(str(emth), str(tmp_path / "m_emth.txt"),
+                          layout="emth")
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    by_name = {r[0].split("/")[-1]: r for r in rows}
+    assert by_name["1_0001.wav"][2] == "2"  # harriton 1 (angry) -> zo 2
+    assert by_name["2_0001.wav"][2] == "1"
+    assert rows[0][3] == "1" and rows[0][4] == "M"
+
+    # --- librispeech: spk/book tree + trans.txt + SPEAKERS.TXT
+    ls = tmp_path / "lssrc"
+    (ls / "train-clean-100" / "19" / "198").mkdir(parents=True)
+    (ls / "train-clean-100" / "19" / "198" / "19-198-0001.flac").write_bytes(b"")
+    (ls / "train-clean-100" / "19" / "198" / "19-198.trans.txt").write_text(
+        "19-198-0001 HELLO WORLD\n")
+    (ls / "SPEAKERS.TXT").write_text(
+        ";ID |SEX| SUBSET\n19 | F | train-clean-100\n")
+    out = create_metadata(str(ls), str(tmp_path / "m_ls.txt"),
+                          layout="librispeech")
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    assert rows[0][0] == "19/198/19-198-0001.flac"
+    assert rows[0][1] == "HELLO WORLD" and rows[0][3] == "19"
+    assert rows[0][4] == "F"
+
+    # --- vctk: wav48/txt trees + speaker-info.csv, quote stripping,
+    #     7-column output with accent|region
+    vctk = tmp_path / "vctksrc"
+    (vctk / "wav48" / "p225").mkdir(parents=True)
+    (vctk / "txt" / "p225").mkdir(parents=True)
+    (vctk / "wav48" / "p225" / "p225_001.wav").write_bytes(b"")
+    (vctk / "txt" / "p225" / "p225_001.txt").write_text('"Please call."\n')
+    (vctk / "speaker-info.csv").write_text(
+        "ID,SEX,ACCENTS,REGION\n225,F,English,Southern England\n")
+    out = create_metadata(str(vctk), str(tmp_path / "m_vctk.txt"),
+                          layout="vctk")
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    # reference order: strip quotes BEFORE the trailing-newline [:-1], so a
+    # quote followed by newline survives (metadata.py:221-229 faithfully)
+    assert rows[0][1] == 'Please call."'
+    assert rows[0][5] == "English" and rows[0][6] == "Southern England"
+
+
+def test_vctk_accent_relabel(tmp_path):
+    """train.txt emt column rewritten to the sorted-accent index
+    (reference vctk_metadata_accent, metadata.py:232-261)."""
+    from tacotron2_tpu.data.preprocess import vctk_accent_relabel
+
+    info = tmp_path / "speaker-info.csv"
+    info.write_text("ID,SEX,ACCENTS,REGION\n"
+                    "225,F,English,S England\n226,M,Scottish,Edinburgh\n")
+    train = tmp_path / "train.txt"
+    # 12-field train.txt rows; basename field (10) = p<spk>_<utt>.wav
+    row = ("vctk|a.npy|mel-1.npy|l.npy|s.npy|4000|20|text|0|225|"
+           "p225_001.wav|F")
+    row2 = row.replace("225", "226").replace("p225", "p226")
+    row3 = row.replace("p225_001", "p999_001")  # unknown speaker: dropped
+    train.write_text("\n".join([row, row2, row3]) + "\n")
+    out = vctk_accent_relabel(str(train), str(info),
+                              str(tmp_path / "train_accent.txt"))
+    rows = [l.split("|") for l in open(out).read().strip().split("\n")]
+    assert len(rows) == 2
+    # sorted accents = [English, Scottish] -> indices 0, 1
+    assert rows[0][8] == "0" and rows[1][8] == "1"

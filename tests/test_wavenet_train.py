@@ -4,6 +4,7 @@ import dataclasses
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -198,3 +199,54 @@ def test_bf16_stack_train_step_converges():
             l0 = float(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["loss"]) < l0
+
+
+def test_weight_norm_data_dependent_init():
+    """After the DDI pass (reference modules.py:110-126), the FIRST
+    weight-normed conv's pre-activation output on the init batch has
+    per-channel mean ~0 and std ~init_scale (later layers' inputs change
+    when earlier layers rescale, but the sequential pass normalizes each in
+    turn, so every layer ends near-normalized)."""
+    import dataclasses
+
+    from tacotron2_tpu.config import Config
+    from tacotron2_tpu.models.wavenet.model import (WaveNet,
+                                                    data_dependent_init)
+
+    cfg = Config()
+    cfg = cfg.replace(wavenet=dataclasses.replace(
+        cfg.wavenet, layers=4, stacks=2, residual_channels=16,
+        gate_channels=32, skip_out_channels=16, cin_channels=20,
+        upsample_scales=(2, 2), out_channels=2, dropout=0.0,
+        weight_normalization=True))
+    model = WaveNet(config=cfg)
+    rng = np.random.default_rng(0)
+    B, T_mel, hop = 2, 8, 4
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, (B, T_mel * hop, 1)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0, 1, (B, T_mel, 20)), jnp.float32)
+    variables = model.init(dict(params=jax.random.PRNGKey(0),
+                                dropout=jax.random.PRNGKey(1)),
+                           x, c, train=True)
+    params = data_dependent_init(model, variables["params"], x, c)
+
+    # capture post-DDI intermediates and check normalization layer by layer
+    _, st = model.apply({"params": params}, x, c, train=False,
+                        mutable=["intermediates"])
+    checked = 0
+
+    def walk(tree, ptree):
+        nonlocal checked
+        for k, v in tree.items():
+            if k == "wn_out":
+                continue
+            sub = ptree.get(k, {}) if isinstance(ptree, dict) else {}
+            if isinstance(v, dict) and "wn_out" in v and "g" in sub:
+                out = np.asarray(v["wn_out"][0])
+                axes = tuple(range(out.ndim - 1))
+                np.testing.assert_allclose(out.mean(axes), 0.0, atol=1e-4)
+                np.testing.assert_allclose(out.std(axes), 1.0, atol=1e-3)
+                checked += 1
+            if isinstance(v, dict):
+                walk(v, sub)
+    walk(st["intermediates"], params)
+    assert checked >= 10  # first conv + 4 blocks x (conv/cin/skip/out) + final
