@@ -354,13 +354,8 @@ def cmd_disc_test(args):
               kind=args.kind, n_classes=args.n_classes)
 
 
-DEFAULT_SENTENCES = [
-    "Scientists at the CERN laboratory say they have discovered a new particle.",
-    "Generative adversarial network or variational auto-encoder.",
-    "He has read the whole thing.",
-    "The big brown fox jumps over the lazy dog.",
-    "Thank you so much for your support!",
-]
+from .data.eval_sentences import \
+    EVAL_SENTENCES as DEFAULT_SENTENCES  # noqa: E402 (hparams.py:370-395)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -361,6 +361,9 @@ class TrainConfig:
 
     checkpoint_interval: int = 250
     eval_interval: int = 5000
+    # how many of the fixed eval sentences (hparams.py:370-395) to
+    # synthesize at each train-time eval interval
+    eval_num_sentences: int = 5
     summary_interval: int = 250
     # nat-GAN disc-only warmup iterations at step 0 (train.py:378-380:
     # 200 paired / 300 unpaired)

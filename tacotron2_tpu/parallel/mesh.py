@@ -5,9 +5,9 @@ Design (SURVEY.md §2.4, BASELINE north star): a 2-D logical mesh
 reference's only strategy); 'model' > 1 channel-shards the WaveNet residual
 stack and GST/encoder matmuls when a single chip's HBM is insufficient.
 
-Multi-host: `jax.distributed.initialize()` is the caller's responsibility
-(CLI does it when JAX_COORDINATOR is set); this module only lays out whatever
-`jax.devices()` shows into the mesh.
+Multi-host: `maybe_initialize_distributed()` gives one bring-up path for
+1-host and N-host starts (explicit env, pod auto-detect, or no-op);
+`make_mesh` lays out whatever `jax.devices()` shows into the mesh.
 """
 
 from __future__ import annotations
@@ -22,26 +22,51 @@ from ..config import MeshConfig
 
 
 def maybe_initialize_distributed() -> bool:
-    """Multi-host bring-up from environment (SURVEY §2.4: replaces the
-    reference's single-process CPU-parameter-server story with
-    jax.distributed + pjit collectives over ICI/DCN).
+    """Multi-host bring-up (SURVEY §2.4: replaces the reference's
+    single-process CPU-parameter-server story with jax.distributed + pjit
+    collectives over ICI/DCN). ONE code path for 1-host and N-host starts:
 
-    Reads JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES,
-    JAX_PROCESS_ID); on TPU pods these are usually auto-detected and
-    `jax.distributed.initialize()` needs no arguments. Returns True when
-    distributed mode was initialized.
+    - JAX_COORDINATOR_ADDRESS set -> explicit initialize(addr, n, id) from
+      JAX_NUM_PROCESSES / JAX_PROCESS_ID (manual clusters);
+    - otherwise, on TPU pod environments (GCE metadata / megascale env
+      detected by jax's cluster autodetect) -> argument-less
+      `jax.distributed.initialize()`;
+    - single-host dev boxes / CPU -> no-op.
+
+    Returns True when distributed mode was initialized. Never raises on the
+    single-host path: an autodetect failure falls back to local-only.
     """
     import os
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr:
+    if addr:
+        kwargs = dict(coordinator_address=addr)
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
+        return True
+    if not _pod_environment_detected():
         return False
-    kwargs = dict(coordinator_address=addr)
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-    if os.environ.get("JAX_PROCESS_ID"):
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
-    jax.distributed.initialize(**kwargs)
-    return True
+    try:
+        jax.distributed.initialize()   # pod auto-detect (TPU metadata)
+        return True
+    except Exception as e:  # pragma: no cover - depends on pod runtime
+        import logging
+        logging.getLogger(__name__).warning(
+            "jax.distributed auto-init failed (%s); continuing single-host", e)
+        return False
+
+
+def _pod_environment_detected() -> bool:
+    """Heuristic for 'this is a TPU pod worker': any of the cluster env
+    markers jax's ClusterEnv autodetect itself keys on."""
+    import os
+    # NOTE: TPU_SKIP_MDS_QUERY deliberately excluded — dev-box TPU tunnel
+    # plugins set it while NOT being pod workers
+    markers = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+               "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID")
+    return any(os.environ.get(m) for m in markers)
 
 
 def host_shard_indices(n: int) -> "np.ndarray":

@@ -259,7 +259,10 @@ def _eval_losses(trainer, state, feeder, batch_size, summary, step,
 
 def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,
                     sentences=None):
-    """Periodic convergence check: synthesize + plot (train.py:602-706)."""
+    """Periodic convergence check: synthesize the fixed eval sentence set
+    (hparams.py:370-395) with per-sentence wav + alignment + mel plots,
+    bucketed by step//500 (reference tacotron/train.py:602-706)."""
+    from ..data.eval_sentences import EVAL_SENTENCES
     from ..synth.tacotron_synth import TacotronSynthesizer
 
     bucket = os.path.join(eval_dir, f"step_{step // 500}")
@@ -267,23 +270,32 @@ def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,
     os.makedirs(os.path.join(bucket, "plots"), exist_ok=True)
     synth = TacotronSynthesizer(cfg, state.params, state.batch_stats,
                                 model=trainer.model)
-    texts = sentences or ["The birch canoe slid on the smooth planks."]
-    ref = np.asarray(sample_batch["ref_mel_emt"][:1])
-    ref_spk = np.asarray(sample_batch["ref_mel_spk"][:1])
+    n = max(1, cfg.train.eval_num_sentences)
+    texts = (sentences or EVAL_SENTENCES)[:n]
+    # refs cycled from the sample batch (the reference's train-time eval
+    # takes refs from the eval feeder batch)
+    refs_e = np.asarray(sample_batch["ref_mel_emt"])
+    refs_s = np.asarray(sample_batch["ref_mel_spk"])
+    ref_list_e = [refs_e[i % len(refs_e)] for i in range(len(texts))]
+    ref_list_s = [refs_s[i % len(refs_s)] for i in range(len(texts))]
     try:
-        result = synth.synthesize(texts[:1], [ref[0]], [ref_spk[0]],
+        result = synth.synthesize(texts, ref_list_e, ref_list_s,
                                   max_steps=min(cfg.tacotron.max_iters, 400))
-        mel = result["mels"][0]
-        wav = synth.mel_to_wav(mel)
-        host_audio.save_wav(wav, os.path.join(bucket, "wavs",
-                                              f"step-{step}-eval.wav"),
-                            cfg.audio.sample_rate)
-        plot_alignment(result["alignments"][0],
-                       os.path.join(bucket, "plots", f"step-{step}-align.png"),
-                       title=f"step {step}")
-        plot_spectrogram(mel, os.path.join(bucket, "plots",
-                                           f"step-{step}-mel.png"),
-                         title=f"step {step}")
-        log(f"Eval synthesis artifacts written for step {step}")
+        for i, mel in enumerate(result["mels"]):
+            wav = synth.mel_to_wav(mel)
+            host_audio.save_wav(
+                wav, os.path.join(bucket, "wavs",
+                                  f"step-{step}-eval-{i}.wav"),
+                cfg.audio.sample_rate)
+            plot_alignment(
+                result["alignments"][i],
+                os.path.join(bucket, "plots", f"step-{step}-align-{i}.png"),
+                title=f"step {step} | {texts[i][:40]}")
+            plot_spectrogram(
+                mel, os.path.join(bucket, "plots",
+                                  f"step-{step}-mel-{i}.png"),
+                title=f"step {step} | {texts[i][:40]}")
+        log(f"Eval synthesis artifacts written for step {step} "
+            f"({len(texts)} sentences)")
     except Exception as e:  # eval must never kill training
         log(f"eval synthesis failed at step {step}: {e}")

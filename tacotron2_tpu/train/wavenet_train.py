@@ -102,6 +102,7 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
         if (ckpt_interval > 0 and step % ckpt_interval == 0) or step == steps:
             mgr.save(step, state)
             log(f"Saved checkpoint at step {step} (params + EMA shadow)")
+            _export_speaker_embeddings(cfg, state, log_dir)
 
         # interval 0/None disables periodic eval
         if eval_interval and step % eval_interval == 0:
@@ -114,6 +115,29 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     summary.close()
     profiler.close()
     return ckpt_dir, state
+
+
+def _export_speaker_embeddings(cfg, state, log_dir):
+    """Speaker-embedding projector export (wavenet_vocoder/train.py:26-39,
+    327-334): the global-conditioning embedding table + a metadata TSV of
+    speaker ids, in the TensorBoard-projector-compatible TSV layout
+    (embeddings.tsv rows = tab-separated vectors; metadata.tsv = one label
+    per row). No-op without speaker conditioning."""
+    wn = cfg.wavenet
+    if wn.gin_channels <= 0 or not wn.use_speaker_embedding:
+        return
+    table = state.params.get("gc_embedding", {}).get("embedding")
+    if table is None:
+        return
+    emb_dir = os.path.join(log_dir, "speaker_embeddings")
+    os.makedirs(emb_dir, exist_ok=True)
+    arr = np.asarray(table)
+    with open(os.path.join(emb_dir, "embeddings.tsv"), "w") as f:
+        for row in arr:
+            f.write("\t".join(f"{x:.6f}" for x in row) + "\n")
+    with open(os.path.join(emb_dir, "metadata.tsv"), "w") as f:
+        f.write("\n".join(f"speaker_{i}" for i in range(len(arr))) + "\n")
+    log(f"Speaker embedding projector export updated ({arr.shape})")
 
 
 def _eval_losses(trainer, state, feeder, batch_size, summary, step,

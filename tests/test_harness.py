@@ -298,8 +298,10 @@ def test_cli_tacotron2_sequencer(tmp_path):
         "--wavenet-train-steps", "2", "--batch-size", "2",
         "--wavenet-batch-size", "2")
     log_dir = os.path.join(base, "logs-Tacotron-2")
-    # all three stages completed and recorded in the crash-resume state file
-    # (reference train.py:16-22 writes "1 1 1" in [taco, GTA, wave] order)
+    # all three stages completed and recorded in the crash-resume state file.
+    # (Format note: the reference writes '|'.join(flags + [input_path]) into
+    # log_dir (train.py:16-22); this repo's state_log is a space-separated
+    # stage set in base_dir — a deliberate, self-consistent deviation.)
     from tacotron2_tpu.cli import read_seq
     assert read_seq(os.path.join(base, "state_log")) == {"taco", "GTA", "wave"}
     gta_map = os.path.join(base, "tacotron_output", "gta", "map.txt")
@@ -311,10 +313,22 @@ def test_cli_tacotron2_sequencer(tmp_path):
     assert os.path.isdir(os.path.join(log_dir, "taco_pretrained"))
     assert os.path.isdir(os.path.join(log_dir, "wave_pretrained"))
 
-    # resume is a no-op once all stages are done (state_log short-circuits)
+    # resume is a no-op once all stages are done (state_log short-circuits):
+    # no checkpoint file may change during the resumed run
+    def _ckpt_mtimes():
+        out = {}
+        for root in ("taco_pretrained", "wave_pretrained"):
+            for dirpath, _, files in os.walk(os.path.join(log_dir, root)):
+                for f in files:
+                    fp = os.path.join(dirpath, f)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = _ckpt_mtimes()
     run("train", "--model", "Tacotron-2", "--input-path",
         os.path.join(corpus, "train.txt"), "--train-steps", "2",
         "--batch-size", "2", timeout=120)
+    assert _ckpt_mtimes() == before, "resume retrained instead of no-op"
 
     # end-to-end text -> mel -> waveform through both restored checkpoints
     run("synthesize", "--model", "Tacotron-2", "--mode", "eval",

@@ -151,3 +151,41 @@ def test_sharded_sampler_matches_single_device():
                                        chunk=16, interpret=True)
     np.testing.assert_allclose(np.asarray(s_sharded[:2]), np.asarray(s_local),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_maybe_initialize_distributed_env_paths(monkeypatch):
+    """Single code path for 1-host and N-host starts (mesh.py): explicit
+    env -> initialize(addr,...); pod markers -> argless initialize();
+    neither -> no-op."""
+    import tacotron2_tpu.parallel.mesh as mesh_mod
+
+    calls = []
+
+    def fake_init(**kwargs):
+        calls.append(kwargs)
+
+    monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", fake_init)
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "CLOUD_TPU_TASK_ID", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+                "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+
+    # no env: no-op
+    assert mesh_mod.maybe_initialize_distributed() is False
+    assert calls == []
+
+    # explicit coordinator env
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert mesh_mod.maybe_initialize_distributed() is True
+    assert calls[-1] == dict(coordinator_address="10.0.0.1:1234",
+                             num_processes=4, process_id=2)
+
+    # pod autodetect markers: argument-less initialize
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    assert mesh_mod.maybe_initialize_distributed() is True
+    assert calls[-1] == {}

@@ -250,3 +250,37 @@ def test_weight_norm_data_dependent_init():
                 walk(v, sub)
     walk(st["intermediates"], params)
     assert checked >= 10  # first conv + 4 blocks x (conv/cin/skip/out) + final
+
+
+def test_speaker_embedding_projector_export(tmp_path):
+    """Projector export (reference wavenet train.py:26-39,327-334): the
+    speaker embedding table lands as embeddings.tsv + metadata.tsv."""
+    import dataclasses
+
+    from tacotron2_tpu.config import Config
+    from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+    from tacotron2_tpu.train.wavenet_train import _export_speaker_embeddings
+
+    cfg = Config()
+    cfg = cfg.replace(wavenet=dataclasses.replace(
+        cfg.wavenet, layers=2, stacks=1, residual_channels=8,
+        gate_channels=16, skip_out_channels=8, cin_channels=10,
+        upsample_scales=(2, 2), out_channels=2, dropout=0.0,
+        gin_channels=6, use_speaker_embedding=True, n_speakers=3))
+    trainer = WaveNetTrainer(cfg)
+    rng = np.random.default_rng(0)
+    B, T_mel, hop = 2, 4, 4
+    batch = dict(
+        x=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop, 1)),
+                      jnp.float32),
+        y=jnp.asarray(rng.uniform(-0.5, 0.5, (B, T_mel * hop)), jnp.float32),
+        c=jnp.asarray(rng.uniform(0, 1, (B, T_mel, 10)), jnp.float32),
+        g=jnp.asarray([0, 2], jnp.int32),
+        input_lengths=jnp.full((B,), T_mel * hop, jnp.int32))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    _export_speaker_embeddings(cfg, state, str(tmp_path))
+    emb = open(tmp_path / "speaker_embeddings" / "embeddings.tsv").read()
+    meta = open(tmp_path / "speaker_embeddings" / "metadata.tsv").read()
+    assert len(emb.strip().split("\n")) == 3
+    assert len(emb.strip().split("\n")[0].split("\t")) == 6
+    assert meta.strip().split("\n") == ["speaker_0", "speaker_1", "speaker_2"]
