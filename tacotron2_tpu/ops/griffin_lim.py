@@ -96,28 +96,71 @@ def inv_linear_spectrogram_tfgl(linear: jnp.ndarray,
                           cfg.win_size, cfg.griffin_lim_iters)
 
 
+def _kernel_eligible(S: jnp.ndarray, n_fft: int, hop: int,
+                     key: jax.Array | None, use_kernel: bool | None) -> bool:
+    """Auto-dispatch policy for the fused Pallas G-L kernel.
+
+    The kernel handles the zero-phase-init path (the production default and
+    the reference's in-graph variant) on batched [B, F, K] magnitudes. The
+    VMEM estimate gates out frame counts whose folded DFT bases + state no
+    longer fit on-chip."""
+    if use_kernel is False:
+        return False
+    if key is not None or S.ndim != 3:
+        return False
+    if use_kernel is None:
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return False
+    F = S.shape[-2]
+    k = -(-n_fft // hop)
+    Kp = (S.shape[-1] + 127) // 128 * 128
+    rows = F + k - 1
+    vmem = 4 * (4 * k * Kp * hop + 2 * k * rows * F
+                + 3 * rows * hop + 6 * F * Kp)
+    return vmem < 100 * 1024 * 1024
+
+
+def _griffin_lim_dispatch(S: jnp.ndarray, n_fft: int, hop: int, win_size: int,
+                          iters: int, key: jax.Array | None,
+                          use_kernel: bool | None) -> jnp.ndarray:
+    if _kernel_eligible(S, n_fft, hop, key, use_kernel):
+        from .griffin_lim_kernel import fused_griffin_lim
+        return fused_griffin_lim(S, n_fft, hop, win_size, iters)
+    return griffin_lim(S, n_fft, hop, win_size, iters, key)
+
+
 def inv_linear_spectrogram(linear: jnp.ndarray, cfg: AudioConfig,
-                           key: jax.Array | None = None) -> jnp.ndarray:
+                           key: jax.Array | None = None,
+                           use_kernel: bool | None = None) -> jnp.ndarray:
     """Normalized linear spectrogram [..., frames, bins] → waveform.
 
     Reference: inv_linear_spectrogram (audio.py:79-94) minus host-side inverse
     preemphasis (apply `data.audio.inv_preemphasis` on the host after).
+
+    use_kernel: True/False forces the fused Pallas kernel on/off; None (auto)
+    uses it on TPU for batched zero-phase-init inputs that fit VMEM.
     """
     D = _stft.denormalize_db(linear, cfg) if cfg.signal_normalization else linear
     S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
-    return griffin_lim(S ** cfg.power, cfg.n_fft, cfg.effective_hop,
-                       cfg.win_size, cfg.griffin_lim_iters, key)
+    return _griffin_lim_dispatch(S ** cfg.power, cfg.n_fft, cfg.effective_hop,
+                                 cfg.win_size, cfg.griffin_lim_iters, key,
+                                 use_kernel)
 
 
 def inv_mel_spectrogram(mel: jnp.ndarray, cfg: AudioConfig,
-                        key: jax.Array | None = None) -> jnp.ndarray:
+                        key: jax.Array | None = None,
+                        use_kernel: bool | None = None) -> jnp.ndarray:
     """Normalized mel spectrogram [..., frames, mels] → waveform.
 
     Reference: inv_mel_spectrogram (audio.py:97-112): denormalize → dB→amp →
     mel→linear via pinv basis → G-L.
+
+    use_kernel: see inv_linear_spectrogram.
     """
     D = _stft.denormalize_db(mel, cfg) if cfg.signal_normalization else mel
     S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)
     lin = _stft.mel_to_linear(S, cfg)
-    return griffin_lim(lin ** cfg.power, cfg.n_fft, cfg.effective_hop,
-                       cfg.win_size, cfg.griffin_lim_iters, key)
+    return _griffin_lim_dispatch(lin ** cfg.power, cfg.n_fft,
+                                 cfg.effective_hop, cfg.win_size,
+                                 cfg.griffin_lim_iters, key, use_kernel)

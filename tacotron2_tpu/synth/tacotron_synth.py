@@ -18,6 +18,7 @@ import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -263,6 +264,33 @@ class TacotronSynthesizer:
         return host_audio.inv_preemphasis(wav, self.cfg.audio.preemphasis,
                                           self.cfg.audio.preemphasize)
 
+    def mels_to_wavs(self, mels: Sequence[np.ndarray]) -> list:
+        """Batched Griffin-Lim inversion of variable-length mels.
+
+        Pads to a common frame count (bucketed to multiples of 64 so
+        repeated calls reuse one compilation) and inverts the whole batch in
+        one device call — on TPU this dispatches to the fused Pallas G-L
+        kernel (ops/griffin_lim_kernel.py) — then trims each waveform to its
+        utterance's own hop·(frames−1) samples, the same length the
+        per-utterance path produces."""
+        if not len(mels):
+            return []
+        a = self.cfg.audio
+        # normalized-domain silence: denormalizes to min_level_db → ~0 magnitude
+        pad_val = -a.max_abs_value if a.symmetric_mels else 0.0
+        F = max(m.shape[0] for m in mels)
+        F = -(-F // 64) * 64 + 1
+        batch = np.stack([np.pad(np.asarray(m, np.float32),
+                                 ((0, F - m.shape[0]), (0, 0)),
+                                 constant_values=pad_val) for m in mels])
+        wavs = np.asarray(griffin_lim.inv_mel_spectrogram(
+            jnp.asarray(batch), a))
+        hop = a.effective_hop
+        return [host_audio.inv_preemphasis(
+                    wavs[i, : hop * max(1, m.shape[0] - 1)],
+                    a.preemphasis, a.preemphasize)
+                for i, m in enumerate(mels)]
+
     def embed(self, texts: Sequence[str], mel_refs: Sequence[np.ndarray]
               ) -> Dict[str, np.ndarray]:
         """Embed-only pass (reference synthesizer `emb_only=True`): teacher-
@@ -302,13 +330,14 @@ def run_eval(synth: TacotronSynthesizer, sentences: Sequence[str],
         os.makedirs(os.path.join(eval_dir, "plots"), exist_ok=True)
 
     result = synth.synthesize(sentences, ref_mels_emt, ref_mels_spk)
+    wavs = synth.mels_to_wavs(result["mels"]) if save_wavs else []
     map_rows = []
     for i, (text, mel) in enumerate(zip(sentences, result["mels"])):
         mel_path = os.path.join(eval_dir, "mels", f"mel-eval-{i}.npy")
         np.save(mel_path, mel, allow_pickle=False)
         map_rows.append(f"{mel_path}|{text}")
         if save_wavs:
-            wav = synth.mel_to_wav(mel)
+            wav = wavs[i]
             # trailing 0.5 s silence pad, as the reference does
             # (synthesizer.py:259-267)
             wav = np.concatenate([wav, np.zeros(synth.cfg.audio.sample_rate // 2,
@@ -439,6 +468,7 @@ def run_style_transfer(synth: TacotronSynthesizer, synth_metadata_path: str,
         r_emt = [np.load(p) for p in refs_emt[sl]]
         r_spk = [np.load(p) for p in refs_spk[sl]]
         result = synth.synthesize(texts[sl], r_emt, r_spk)
+        wavs = synth.mels_to_wavs(result["mels"]) if save_wavs else []
         for j, mel in enumerate(result["mels"]):
             i = start + j
             mel_path = os.path.join(synth_dir, "mels", f"mel-{basenames[i]}.npy")
@@ -446,7 +476,7 @@ def run_style_transfer(synth: TacotronSynthesizer, synth_metadata_path: str,
             map_rows.append(
                 f"{mel_path}|{texts[i]}|{emt_labels[i]}|{spk_labels[i]}")
             if save_wavs:
-                wav = synth.mel_to_wav(mel)
+                wav = wavs[j]
                 host_audio.save_wav(
                     wav, os.path.join(synth_dir, "wavs",
                                       f"wav-{basenames[i]}.wav"),
@@ -511,12 +541,12 @@ def run_synthesis_random(synth: TacotronSynthesizer, train_txt: str,
         result = synth.synthesize(texts[sl],
                                   [np.load(p) for p in refs_emt[sl]],
                                   [np.load(p) for p in refs_spk[sl]])
+        wavs = synth.mels_to_wavs(result["mels"])
         for j, mel in enumerate(result["mels"]):
             i = start + j
             np.save(os.path.join(synth_dir, f"mel-{basenames[i]}.npy"),
                     mel, allow_pickle=False)
-            wav = synth.mel_to_wav(mel)
-            host_audio.save_wav(wav,
+            host_audio.save_wav(wavs[j],
                                 os.path.join(synth_dir, f"wav-{basenames[i]}.wav"),
                                 synth.cfg.audio.sample_rate)
     log(f"random-experiment synthesis: {len(texts)} samples -> {synth_dir}")
@@ -597,13 +627,14 @@ def run_synthesis_multiple(synth: TacotronSynthesizer, train_txt: str,
         result = synth.synthesize(texts[sl],
                                   [np.load(p) for p in refs_emt[sl]],
                                   [np.load(p) for p in refs_spk[sl]])
+        wavs = synth.mels_to_wavs(result["mels"])
         for j, mel in enumerate(result["mels"]):
             i = start + j
             np.save(os.path.join(synth_dir, "mels", f"mel-{basenames[i]}.npy"),
                     mel, allow_pickle=False)
-            wav = synth.mel_to_wav(mel)
             host_audio.save_wav(
-                wav, os.path.join(synth_dir, "wavs", f"wav-{basenames[i]}.wav"),
+                wavs[j], os.path.join(synth_dir, "wavs",
+                                      f"wav-{basenames[i]}.wav"),
                 synth.cfg.audio.sample_rate)
         log(f"synthesis_multiple {min(start + batch_size, len(texts))}"
             f"/{len(texts)}")

@@ -281,11 +281,11 @@ def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,
     try:
         result = synth.synthesize(texts, ref_list_e, ref_list_s,
                                   max_steps=min(cfg.tacotron.max_iters, 400))
+        wavs = synth.mels_to_wavs(result["mels"])
         for i, mel in enumerate(result["mels"]):
-            wav = synth.mel_to_wav(mel)
             host_audio.save_wav(
-                wav, os.path.join(bucket, "wavs",
-                                  f"step-{step}-eval-{i}.wav"),
+                wavs[i], os.path.join(bucket, "wavs",
+                                      f"step-{step}-eval-{i}.wav"),
                 cfg.audio.sample_rate)
             plot_alignment(
                 result["alignments"][i],

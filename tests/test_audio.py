@@ -173,3 +173,42 @@ def test_wav_resample(tmp_path):
     wavfile.write(p, 22050, (y * 32767).astype(np.int16))
     y16 = host_audio.load_wav(p, 16000)
     assert abs(len(y16) - 8000) <= 2
+
+
+def test_gl_kernel_dispatch_policy():
+    """Auto-dispatch gates for the fused Pallas G-L (ops/griffin_lim.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    S3 = jnp.zeros((2, 16, 129))
+    # explicit off always wins
+    assert not gl._kernel_eligible(S3, 256, 64, None, False)
+    # random-phase init (numpy-path parity) is scan-only
+    assert not gl._kernel_eligible(S3, 256, 64, jax.random.PRNGKey(0), True)
+    # unbatched inputs take the XLA path
+    assert not gl._kernel_eligible(jnp.zeros((16, 129)), 256, 64, None, True)
+    # forced on: batched zero-phase within VMEM budget
+    assert gl._kernel_eligible(S3, 256, 64, None, True)
+    # frame counts whose folded bases + state overflow VMEM fall back
+    huge = jnp.zeros((1, 20000, 1025))
+    assert not gl._kernel_eligible(huge, 2048, 200, None, True)
+    # auto (None) on a non-TPU backend falls back to XLA
+    if jax.default_backend() != "tpu":
+        assert not gl._kernel_eligible(S3, 256, 64, None, None)
+
+
+def test_gl_dispatch_xla_fallback_shapes():
+    """use_kernel=False batched inversion matches the unbatched path."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    cfg = AudioConfig(n_fft=512, win_size=512, hop_size=128,
+                      griffin_lim_iters=2, preemphasize=False,
+                      trim_silence=False)
+    mel = rng.uniform(-4, 4, (2, 12, 80)).astype(np.float32)
+    y_b = np.asarray(gl.inv_mel_spectrogram(jnp.asarray(mel), cfg,
+                                            use_kernel=False))
+    y_0 = np.asarray(gl.inv_mel_spectrogram(jnp.asarray(mel[0]), cfg,
+                                            use_kernel=False))
+    assert y_b.shape == (2, 128 * 11)
+    np.testing.assert_allclose(y_b[0], y_0, atol=1e-5)

@@ -357,3 +357,26 @@ def test_vctk_accent_relabel(tmp_path):
     assert len(rows) == 2
     # sorted accents = [English, Scottish] -> indices 0, 1
     assert rows[0][8] == "0" and rows[1][8] == "1"
+
+
+def test_mels_to_wavs_matches_per_utterance():
+    """Batched G-L inversion pads/trims per utterance consistently with the
+    per-utterance mel_to_wav path (CPU → both take the XLA scan)."""
+    import dataclasses
+
+    cfg, synth = _tiny_synth()
+    synth.cfg = cfg.replace(audio=dataclasses.replace(
+        cfg.audio, n_fft=512, win_size=512, hop_size=128,
+        griffin_lim_iters=3, preemphasize=False, trim_silence=False))
+    rng = np.random.default_rng(1)
+    mels = [rng.uniform(-4, 4, (f, 20)).astype(np.float32) for f in (18, 24)]
+    wavs = synth.mels_to_wavs(mels)
+    assert [len(w) for w in wavs] == [128 * 17, 128 * 23]
+    for m, w in zip(mels, wavs):
+        ref = synth.mel_to_wav(m)
+        assert len(ref) == len(w)
+        # padded-batch G-L perturbs the tail near the silence boundary;
+        # identical zero-phase init keeps the bulk waveform aligned
+        corr = np.corrcoef(w, ref)[0, 1]
+        assert corr > 0.98, corr
+    assert synth.mels_to_wavs([]) == []

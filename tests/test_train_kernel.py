@@ -219,6 +219,7 @@ def test_trainer_integration():
     assert abs(gf - gs) < 2e-3 * max(1.0, abs(gs)), results
 
 
+@pytest.mark.slow
 def test_sharded_fused_grad_parity():
     """Fused kernel under shard_map on a 2-device data mesh: forward and
     gradients match the single-device kernel (the transpose-psum of the

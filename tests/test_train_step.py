@@ -1,6 +1,7 @@
 """Train step: loss decreases, schedules match reference anchors, mesh shards."""
 
 import dataclasses
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0], f"no improvement: {losses}"
 
 
+@pytest.mark.slow
 def test_train_step_on_mesh():
     cfg = tiny_config()
     trainer = TacotronTrainer(cfg)
@@ -169,6 +171,7 @@ def test_remat_decoder_same_grads():
         g_plain, g_remat)
 
 
+@pytest.mark.slow
 def test_bf16_decoder_train_step():
     """tacotron.compute_dtype=bfloat16: decode scan in bf16 (master params,
     cum-alignments, BN stacks, losses stay f32) — init-loss parity with the
