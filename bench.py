@@ -173,10 +173,12 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
         realtime_factor_per_stream=T / fused_dt / sr,
         batch=B, samples=T)
 
-    if _remaining() > 60:
+    if os.environ.get("BENCH_EXACT") == "1" and _remaining() > 60:
         # bit-exact all-VMEM f32 config: a quality/parity detail, timed on a
-        # short clip (it runs ~4x slower than the headline; a full-length
-        # 3-iter measurement alone cost ~6 min of round-1 budget)
+        # short clip (~4x slower than the headline). Off by default: its
+        # separate kernel program pays another erratic first-execution
+        # penalty through the remote compile service (5-800 s observed),
+        # and the number is already pinned by the kernel parity tests.
         T_exact = 7 * chunk
         exact_dt = time_config(B_exact, jnp.float32, T_cfg=T_exact, iters=1)
         res["exact_f32_audio_s_per_s"] = B_exact * T_exact / exact_dt / sr
@@ -403,19 +405,10 @@ def main():
     except Exception as e:  # pragma: no cover
         detail["vocoder_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # --- paper-preset MoL fused sampler ----------------------------------
-    if _remaining() > 210:
-        try:
-            mol = _timed('mol', bench_vocoder_mol)
-            detail["mol_paper_audio_s_per_s"] = round(
-                mol["mol_paper_audio_s_per_s"], 1)
-            detail["mol_us_per_step"] = round(mol["mol_us_per_step"], 2)
-        except Exception as e:  # pragma: no cover
-            detail["mol_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        detail["skipped"].append("vocoder_mol")
-
     # --- tacotron fused decode -------------------------------------------
+    # runs before the MoL section: it reuses warm programs and lands the
+    # second-most-important number, while MoL compiles a second large kernel
+    # whose first execution through the remote-compile service is erratic
     if _remaining() > 75:
         try:
             taco = _timed('taco', lambda: bench_tacotron_decode(cfg))
@@ -443,6 +436,18 @@ def main():
             detail["griffin_lim_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
         detail["skipped"].append("griffin_lim")
+
+    # --- paper-preset MoL fused sampler ----------------------------------
+    if _remaining() > 210:
+        try:
+            mol = _timed('mol', bench_vocoder_mol)
+            detail["mol_paper_audio_s_per_s"] = round(
+                mol["mol_paper_audio_s_per_s"], 1)
+            detail["mol_us_per_step"] = round(mol["mol_us_per_step"], 2)
+        except Exception as e:  # pragma: no cover
+            detail["mol_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("vocoder_mol")
 
     if "vocoder" in sections and "tacotron_decode" in sections:
         detail["end_to_end_audio_s_per_s"] = round(
