@@ -66,6 +66,10 @@ class AudioConfig:
     power: float = 1.5            # Griffin-Lim magnitude sharpening
     griffin_lim_iters: int = 60
     gl_on_device: bool = True     # reference GL_on_GPU (hparams.py:135)
+    # None/"float32" = reference-parity math; "bfloat16" runs the G-L DFT
+    # matmuls in bf16 (~2x MXU rate on TPU; the f32 magnitude projection
+    # re-anchors each iteration so error does not accumulate)
+    gl_compute_dtype: Optional[str] = None
 
     clip_mels_length: bool = False
     max_mel_frames: int = 900

@@ -142,27 +142,42 @@ def n_frames(signal_len: int, n_fft: int, hop: int) -> int:
     return 1 + (signal_len + 2 * (n_fft // 2) - n_fft) // hop
 
 
-def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int,
+                 win_size: int | None = None) -> jnp.ndarray:
     """Center-pad with zeros and slice into overlapping frames.
 
-    y: [..., T] → [..., frames, n_fft]. Matches librosa.stft framing with
+    y: [..., T] → [..., frames, extent]. Matches librosa.stft framing with
     center=True, pad_mode='constant' (reference audio.py:182).
 
-    TPU note: built from k = ceil(n_fft/hop) static hop-plane slices of a
-    [rows, hop] reshape instead of a [frames, n_fft] gather — XLA gathers
+    If `win_size` is given and smaller than n_fft, only the window-support
+    extent [lpad, lpad+win_size) of each frame is materialized (extent =
+    win_size): librosa pads the hann window to n_fft with zeros, so the
+    out-of-support samples are multiplied by zero in the windowed matmul and
+    dropping them is exact — it cuts the DFT matmul FLOPs by n_fft/win_size
+    (2.56x at the production 2048/800 config).
+
+    TPU note: built from k = ceil(extent/hop) static hop-plane slices of a
+    [rows, hop] reshape instead of a [frames, extent] gather — XLA gathers
     with large index matrices are orders slower on TPU than sliced reshapes.
-    frame i = concat_s y2d[i+s] for s in 0..k-1, trimmed to n_fft.
     """
     pad = n_fft // 2
+    if win_size is None or win_size >= n_fft:
+        extent, lpad = n_fft, 0
+    else:
+        extent, lpad = win_size, (n_fft - win_size) // 2
     y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)])
     num = 1 + (y.shape[-1] - n_fft) // hop
-    k = -(-n_fft // hop)
-    need = (num - 1 + k) * hop
-    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, need - y.shape[-1]))])
-    y2d = y.reshape(y.shape[:-1] + (-1, hop))            # [..., rows, hop]
-    planes = [y2d[..., s: s + num, :] for s in range(k)]  # each [..., num, hop]
+    off_planes, off_rem = divmod(lpad, hop)
+    z = y[..., off_rem:]
+    k = -(-extent // hop)
+    need = (num - 1 + off_planes + k) * hop
+    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, max(0, need - z.shape[-1]))])
+    z = z[..., :need]
+    z2d = z.reshape(z.shape[:-1] + (-1, hop))            # [..., rows, hop]
+    planes = [z2d[..., off_planes + s: off_planes + s + num, :]
+              for s in range(k)]                          # each [..., num, hop]
     frames = jnp.concatenate(planes, axis=-1)             # [..., num, k·hop]
-    return frames[..., :n_fft]
+    return frames[..., :extent]
 
 
 def stft(y: jnp.ndarray, n_fft: int, hop: int, win_size: int
@@ -170,12 +185,18 @@ def stft(y: jnp.ndarray, n_fft: int, hop: int, win_size: int
     """Real STFT via DFT matmul. y: [..., T] → (re, im) each [..., frames, K].
 
     Sign convention matches np.fft.rfft: X[k] = Σ x[n]·e^{-2πikn/N}.
+    The frame/basis product is restricted to the window support (see
+    frame_signal) — exact, since the padded window is zero outside it.
     """
+    lpad = (n_fft - win_size) // 2 if win_size < n_fft else 0
     cos_b, sin_b = _dft_bases(n_fft)
-    window = padded_window(win_size, n_fft)
-    frames = frame_signal(y, n_fft, hop) * jnp.asarray(window)
-    re = frames @ jnp.asarray(cos_b)
-    im = -(frames @ jnp.asarray(sin_b))
+    window = hann_window(win_size) if win_size < n_fft else padded_window(
+        win_size, n_fft)
+    frames = frame_signal(y, n_fft, hop, win_size) * jnp.asarray(
+        window, dtype=y.dtype)
+    ext = frames.shape[-1]
+    re = frames @ jnp.asarray(cos_b[lpad: lpad + ext], dtype=frames.dtype)
+    im = -(frames @ jnp.asarray(sin_b[lpad: lpad + ext], dtype=frames.dtype))
     return re, im
 
 
@@ -193,33 +214,50 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
     (librosa.istft center=True semantics, reference audio.py:184-185).
     """
     ci, si = _idft_bases(n_fft)
-    window = padded_window(win_size, n_fft)
+    if win_size < n_fft:
+        lpad = (n_fft - win_size) // 2
+        window = hann_window(win_size)
+    else:
+        lpad = 0
+        window = padded_window(win_size, n_fft)
+    ext = window.shape[0]
     # irfft with rfft sign convention: x = re @ ci - (-im) @ si = re@ci + im@si
-    frames = (re @ jnp.asarray(ci) - im @ jnp.asarray(si)) * jnp.asarray(window)
+    # restricted to the window support [lpad, lpad+ext) — exact (see stft)
+    frames = ((re @ jnp.asarray(ci[:, lpad: lpad + ext], dtype=re.dtype)
+               - im @ jnp.asarray(si[:, lpad: lpad + ext], dtype=re.dtype))
+              * jnp.asarray(window, dtype=re.dtype))
 
     num = frames.shape[-2]
     total = n_fft + hop * (num - 1)
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, num, n_fft))
+    flat = frames.reshape((-1, num, ext))
 
-    # overlap-add as k = ceil(n_fft/hop) shifted hop-plane additions — no
-    # scatter (XLA scatter-add is the slow path on TPU). Plane s of frame i
-    # lands at output row i+s of a [num+k-1, hop] grid.
-    k = -(-n_fft // hop)
-    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, k * hop - n_fft)))
+    # overlap-add as shifted hop-plane additions — no scatter (XLA
+    # scatter-add is the slow path on TPU). Support sample j of frame i
+    # lives at output position i·hop + lpad + j; with lpad = off_planes·hop
+    # + off_rem, left-padding the frames by off_rem makes plane s of frame i
+    # land at row i + off_planes + s of the [num+k_full-1, hop] grid.
+    k_full = -(-n_fft // hop)
+    off_planes, off_rem = divmod(lpad, hop)
+    ext2 = off_rem + ext
+    k = -(-ext2 // hop)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (off_rem, k * hop - ext2)))
     planes = flat.reshape(flat.shape[0], num, k, hop)
-    acc = jnp.zeros((flat.shape[0], num + k - 1, hop), dtype=flat.dtype)
+    rows = num + k_full - 1
+    acc = jnp.zeros((flat.shape[0], rows, hop), dtype=flat.dtype)
     for s in range(k):
+        r = off_planes + s
         acc = acc + jnp.pad(planes[:, :, s, :],
-                            ((0, 0), (s, k - 1 - s), (0, 0)))
+                            ((0, 0), (r, rows - num - r), (0, 0)))
     y = acc.reshape(flat.shape[0], -1)[:, :total]
 
     # window-sum-square normalization (static, precomputed on host)
-    win_sq = (window.astype(np.float64) ** 2)
+    win_sq = (padded_window(win_size, n_fft).astype(np.float64) ** 2)
     wss = np.zeros(total, dtype=np.float64)
     for i in range(num):
         wss[i * hop: i * hop + n_fft] += win_sq
-    y = y / jnp.asarray(np.where(wss > 1e-10, wss, 1.0).astype(np.float32))
+    y = y / jnp.asarray(np.where(wss > 1e-10, wss, 1.0).astype(np.float32),
+                        dtype=y.dtype)
 
     pad = n_fft // 2
     y = y[:, pad: total - pad]

@@ -192,9 +192,8 @@ def test_gl_kernel_dispatch_policy():
     # frame counts whose folded bases + state overflow VMEM fall back
     huge = jnp.zeros((1, 20000, 1025))
     assert not gl._kernel_eligible(huge, 2048, 200, None, True)
-    # auto (None) on a non-TPU backend falls back to XLA
-    if jax.default_backend() != "tpu":
-        assert not gl._kernel_eligible(S3, 256, 64, None, None)
+    # auto (None) always takes the XLA path (measured faster on TPU v5e)
+    assert not gl._kernel_eligible(S3, 256, 64, None, None)
 
 
 def test_gl_dispatch_xla_fallback_shapes():
@@ -212,3 +211,33 @@ def test_gl_dispatch_xla_fallback_shapes():
                                             use_kernel=False))
     assert y_b.shape == (2, 128 * 11)
     np.testing.assert_allclose(y_b[0], y_0, atol=1e-5)
+
+
+def test_griffin_lim_bf16_quality():
+    """gl_compute_dtype='bfloat16' keeps spectral consistency within 10% of
+    the f32 path: the f32 magnitude projection re-anchors every iteration so
+    bf16 matmul quantization does not accumulate."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(CFG, n_fft=512, win_size=400, hop_size=128,
+                              griffin_lim_iters=8, preemphasize=False,
+                              trim_silence=False)
+    y = _chirp(dur=0.3)
+    mel = dsp.mel_spectrogram(jnp.asarray(y), cfg)
+
+    def consistency(w):
+        mag = np.asarray(dsp.stft_mag(jnp.asarray(w), cfg.n_fft,
+                                      cfg.effective_hop, cfg.win_size))
+        tgt = np.asarray(dsp.stft_mag(jnp.asarray(y[: w.shape[-1]]),
+                                      cfg.n_fft, cfg.effective_hop,
+                                      cfg.win_size))
+        return float(np.mean(np.abs(mag - tgt)))
+
+    w32 = np.asarray(gl.inv_mel_spectrogram(mel, cfg))
+    w16 = np.asarray(gl.inv_mel_spectrogram(
+        mel, dataclasses.replace(cfg, gl_compute_dtype="bfloat16")))
+    assert w16.dtype == np.float32
+    c32, c16 = consistency(w32), consistency(w16)
+    assert c16 < c32 * 1.1 + 1e-4, (c16, c32)
