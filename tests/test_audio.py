@@ -241,3 +241,32 @@ def test_griffin_lim_bf16_quality():
     assert w16.dtype == np.float32
     c32, c16 = consistency(w32), consistency(w16)
     assert c16 < c32 * 1.1 + 1e-4, (c16, c32)
+
+
+@pytest.mark.parametrize("n_fft,win,hop", [(256, 96, 64), (256, 100, 48),
+                                           (512, 512, 128), (128, 120, 32)])
+def test_stft_support_trim_matches_full_frame(n_fft, win, hop):
+    """The window-support-trimmed STFT equals the full n_fft-frame windowed
+    DFT for arbitrary (lpad % hop) offsets, including win == n_fft."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((2, 777)).astype(np.float32)
+
+    re, im = dsp.stft(jnp.asarray(y), n_fft, hop, win)
+
+    # oracle: full-extent frames x zero-padded window (the pre-trim math)
+    frames = np.asarray(dsp.frame_signal(jnp.asarray(y), n_fft, hop))
+    w = dsp.padded_window(win, n_fft)
+    cos_b, sin_b = dsp._dft_bases(n_fft)
+    fw = frames * w
+    np.testing.assert_allclose(np.asarray(re), fw @ cos_b, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(im), -(fw @ sin_b), atol=2e-4)
+
+    # istft of the result has the canonical length and round-trips interior
+    y2 = np.asarray(dsp.istft(re, im, n_fft, hop, win))
+    assert y2.shape == (2, hop * (re.shape[-2] - 1))
+    lo = n_fft
+    if y2.shape[-1] > 2 * lo:
+        np.testing.assert_allclose(y2[:, lo:-lo], y[:, lo:y2.shape[-1] - lo],
+                                   atol=5e-3)

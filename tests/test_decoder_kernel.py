@@ -100,6 +100,7 @@ def test_fused_decoder_dropout_active(setup):
     assert not np.allclose(np.asarray(f1), np.asarray(frames_off), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_matches_model_synthesis():
     """Full integration: synthesis_memory -> fused kernel -> postnet_pass
     reproduces model.apply(synthesis=True) when dropout is off (r=2 path)."""

@@ -56,6 +56,7 @@ def test_plots(tmp_path):
         assert (tmp_path / f).stat().st_size > 1000
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from tacotron2_tpu.train.tacotron_step import TacotronTrainer
     cfg = tiny_config()
@@ -204,6 +205,7 @@ def test_split_silence():
     assert len(audio.split_silence(noise, top_db=60)) >= 1
 
 
+@pytest.mark.slow
 def test_tisv_stacks_and_stack_feeder(tmp_path):
     """disc-preprocess -> speaker stacks -> GE2E stack feeder -> train
     (reference spk_disc/data_preprocess.py + utils.py random_batch_old)."""

@@ -193,6 +193,7 @@ def test_stochastic_paths_finite(setup):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_trainer_integration():
     """use_fused_train_decoder=True inside the FULL train step reproduces the
     scan path's loss and grad norm (dropout/zoneout off for determinism)."""
