@@ -35,7 +35,7 @@ import sys
 import threading
 import time
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
 _T0 = time.time()
 
 
