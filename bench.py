@@ -247,9 +247,12 @@ def bench_vocoder_mol(B=256, chunk=512, hbm_delay_threshold=32, window=8):
                 mol_us_per_step=dt / T * 1e6)
 
 
-def bench_tacotron_decode(cfg, B=32, T_in=256, steps=500, M=1024):
+def bench_tacotron_decode(cfg, B=48, T_in=256, steps=500, M=1024):
     """Fused Pallas autoregressive mel decode (ops/tacotron_decoder_kernel.py)
-    at full model size; returns mel audio-seconds/s per chip."""
+    at full model size; returns mel audio-seconds/s per chip.
+
+    B=48 is the measured-best batch (10,733 mel audio-s/s vs 8,183 at B=32;
+    B=64 exceeds VMEM at T=256)."""
     import jax
     import jax.numpy as jnp
 
