@@ -433,12 +433,15 @@ def main():
     if _remaining() > 45:
         try:
             glt = _timed('gl', lambda: bench_griffin_lim(cfg))
-            best = max(v for v in glt.values() if isinstance(v, float))
-            sections["griffin_lim"] = best
-            detail["griffin_lim_audio_s_per_s"] = round(best, 1)
             for k, v in glt.items():
                 detail[f"griffin_lim_{k}"] = (round(v, 1)
                                               if isinstance(v, float) else v)
+            floats = [v for v in glt.values() if isinstance(v, float)]
+            if not floats:  # per-config errors are already in detail
+                raise RuntimeError("all G-L configs failed")
+            best = max(floats)
+            sections["griffin_lim"] = best
+            detail["griffin_lim_audio_s_per_s"] = round(best, 1)
         except Exception as e:  # pragma: no cover
             detail["griffin_lim_error"] = f"{type(e).__name__}: {e}"[:200]
     else:

@@ -153,8 +153,9 @@ def inv_linear_spectrogram(linear: jnp.ndarray, cfg: AudioConfig,
     Reference: inv_linear_spectrogram (audio.py:79-94) minus host-side inverse
     preemphasis (apply `data.audio.inv_preemphasis` on the host after).
 
-    use_kernel: True/False forces the fused Pallas kernel on/off; None (auto)
-    uses it on TPU for batched zero-phase-init inputs that fit VMEM.
+    use_kernel: None (default) and False take the XLA path — the measured-
+    faster production route on TPU v5e; True forces the fused Pallas kernel
+    (batched zero-phase inputs that fit VMEM only, see _kernel_eligible).
     """
     D = _stft.denormalize_db(linear, cfg) if cfg.signal_normalization else linear
     S = _stft.db_to_amp(D + cfg.ref_level_db) ** (1.0 / cfg.magnitude_power)

@@ -269,17 +269,21 @@ class TacotronSynthesizer:
 
         Pads to a common frame count (bucketed to multiples of 64 so
         repeated calls reuse one compilation) and inverts the whole batch in
-        one device call — on TPU this dispatches to the fused Pallas G-L
-        kernel (ops/griffin_lim_kernel.py) — then trims each waveform to its
-        utterance's own hop·(frames−1) samples, the same length the
-        per-utterance path produces."""
+        one device call (the big-batch shape is what makes the XLA G-L path
+        hit its measured-best MXU throughput), then trims each waveform to
+        its utterance's own hop·(frames−1) samples — the same length the
+        per-utterance mel_to_wav path produces."""
         if not len(mels):
             return []
         a = self.cfg.audio
-        # normalized-domain silence: denormalizes to min_level_db → ~0 magnitude
-        pad_val = -a.max_abs_value if a.symmetric_mels else 0.0
+        if a.signal_normalization:
+            # normalized-domain silence: denormalizes to min_level_db
+            pad_val = -a.max_abs_value if a.symmetric_mels else 0.0
+        else:
+            # raw-dB domain: inv path adds ref_level_db back before dB→amp
+            pad_val = a.min_level_db - a.ref_level_db
         F = max(m.shape[0] for m in mels)
-        F = -(-F // 64) * 64 + 1
+        F = _round_up(F, 64) + 1
         batch = np.stack([np.pad(np.asarray(m, np.float32),
                                  ((0, F - m.shape[0]), (0, 0)),
                                  constant_values=pad_val) for m in mels])
@@ -287,7 +291,7 @@ class TacotronSynthesizer:
             jnp.asarray(batch), a))
         hop = a.effective_hop
         return [host_audio.inv_preemphasis(
-                    wavs[i, : hop * max(1, m.shape[0] - 1)],
+                    wavs[i, : hop * (m.shape[0] - 1)],
                     a.preemphasis, a.preemphasize)
                 for i, m in enumerate(mels)]
 

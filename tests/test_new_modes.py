@@ -380,3 +380,15 @@ def test_mels_to_wavs_matches_per_utterance():
         corr = np.corrcoef(w, ref)[0, 1]
         assert corr > 0.98, corr
     assert synth.mels_to_wavs([]) == []
+    # degenerate 1-frame mel: hop*(F-1) = 0 samples, same as mel_to_wav
+    one = rng.uniform(-4, 4, (1, 20)).astype(np.float32)
+    assert synth.mels_to_wavs([one])[0].size == 0
+    # with signal_normalization off the pad must still be raw-dB silence,
+    # quieter than the content (review finding: -max_abs_value would be loud)
+    synth.cfg = synth.cfg.replace(audio=dataclasses.replace(
+        synth.cfg.audio, signal_normalization=False))
+    raw = rng.uniform(-100, -20, (10, 20)).astype(np.float32)
+    w_raw = synth.mels_to_wavs([raw, raw[:6]])
+    tail = w_raw[1][-synth.cfg.audio.effective_hop:]
+    assert np.abs(tail).max() < np.abs(w_raw[1]).max() * 10  # no pad blow-up
+    assert [len(w) for w in w_raw] == [128 * 9, 128 * 5]
