@@ -392,3 +392,28 @@ def test_mels_to_wavs_matches_per_utterance():
     tail = w_raw[1][-synth.cfg.audio.effective_hop:]
     assert np.abs(tail).max() < np.abs(w_raw[1]).max() * 10  # no pad blow-up
     assert [len(w) for w in w_raw] == [128 * 9, 128 * 5]
+
+
+def test_run_eval_save_wavs_batched(tmp_path):
+    """run_eval with save_wavs=True exercises the batched mels_to_wavs
+    indexing (wav/plot per sentence, all files non-trivial)."""
+    import dataclasses
+
+    from tacotron2_tpu.synth.tacotron_synth import run_eval
+
+    cfg, synth = _tiny_synth()
+    synth.cfg = cfg.replace(audio=dataclasses.replace(
+        cfg.audio, n_fft=512, win_size=512, hop_size=128,
+        griffin_lim_iters=2))
+    rng = np.random.default_rng(5)
+    refs = [rng.uniform(-4, 4, (9, 20)).astype(np.float32)] * 2
+    run_eval(synth, ["one two", "three"], refs, refs,
+             str(tmp_path / "out"), save_wavs=True)
+    eval_dir = tmp_path / "out" / "eval"
+    for i in range(2):
+        wav_path = eval_dir / "wavs" / f"wav-eval-{i}.wav"
+        assert wav_path.exists()
+        # 0.5 s silence pad + at least one hop of audio
+        assert wav_path.stat().st_size > cfg.audio.sample_rate // 2 * 2
+        assert (eval_dir / "plots" / f"alignment-eval-{i}.png").exists()
+    assert (eval_dir / "map.txt").exists()
