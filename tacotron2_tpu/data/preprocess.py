@@ -327,14 +327,19 @@ def create_metadata(in_dir: str, out_path: str, layout: str = "ljspeech",
 
 
 def _walk_audio(folder_wav: str):
-    """All audio files under a tree as (relpath-from-two-up, basename)."""
+    """All audio files under a tree as (relpath, walk root, basename).
+
+    relpath is relative to folder_wav's PARENT (i.e. it includes the walk
+    root's own directory name), independent of nesting depth — so builders
+    can join it onto their in_dir directly."""
+    base = os.path.dirname(os.path.abspath(folder_wav))
     out = []
     for root, _, files in os.walk(folder_wav, topdown=True):
         for f in sorted(files):
             if not (f.endswith(".wav") or f.endswith(".flac")):
                 continue
-            rel = os.path.join(os.path.basename(os.path.dirname(root)),
-                               os.path.basename(root), f)
+            rel = os.path.relpath(os.path.join(os.path.abspath(root), f),
+                                  base)
             out.append((rel.replace("\\", "/"), root, f))
     return out
 
@@ -366,12 +371,14 @@ def _metadata_jessa(in_dir: str):
         if folder not in cache:
             table = {}
             path = os.path.join(in_dir, "TextScripts_UTF8", folder + ".txt")
-            with open(path, encoding="utf-8") as f:
-                for j, line in enumerate(f):
+            # utf-8-sig: a UTF-8 BOM decodes to one '﻿', which the
+            # -sig codec strips (slicing bytes off the first key would
+            # mangle it instead)
+            with open(path, encoding="utf-8-sig") as f:
+                for line in f:
                     parts = line.rstrip("\n").split("\t")
                     if len(parts) >= 2:
-                        key = parts[0][3:] if j == 0 else parts[0]  # BOM fix
-                        table[key] = parts[1]
+                        table[parts[0]] = parts[1]
             cache[folder] = table
         script = cache[folder][fname.split(".")[0]]
         rows.append(f"{rel}|{script}|0|1|F")
@@ -420,10 +427,12 @@ def _metadata_librispeech(in_dir: str):
         script = None
         with open(trans, encoding="utf-8") as f:
             for line in f:
-                parts = line.split(" ")
+                parts = line.rstrip("\n").split(" ")
                 if parts[0] == name:
-                    script = " ".join(parts[1:])[:-1]  # strip newline
+                    script = " ".join(parts[1:])
                     break
+        if script is None:  # utterance missing from the trans file
+            continue
         sex = sexes.get(int(spk), "N")
         rows.append(f"{spk}/{book}/{fname}|{script}|0|{spk}|{sex}")
     return rows
@@ -463,6 +472,9 @@ def _metadata_vctk(in_dir: str):
             continue
         with open(txt, encoding="utf-8") as f:
             script = f.read()
+        # reference order preserved on purpose: quotes are stripped BEFORE
+        # the trailing-newline [:-1], so `"...."\n` keeps its end quote
+        # (metadata.py:216-226 — faithful to the reference's own quirk)
         if script.startswith('"'):
             script = script[1:]
         if script.endswith('"'):

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -39,10 +40,17 @@ import numpy as np
 def _find_prefix(path: str) -> str:
     """Accept a checkpoint prefix, a .index file, or a directory."""
     if os.path.isdir(path):
-        idx = sorted(glob.glob(os.path.join(path, "*.index")))
+        idx = glob.glob(os.path.join(path, "*.index"))
         if not idx:
             raise FileNotFoundError(f"no TF checkpoint *.index under {path}")
-        return idx[-1][:-len(".index")]
+
+        def step_of(p):
+            # numeric-aware "latest": ckpt-1000 beats ckpt-999 (plain
+            # lexicographic sort would pick the stale one)
+            m = re.search(r"-(\d+)\.index$", p)
+            return (int(m.group(1)) if m else -1, p)
+
+        return max(idx, key=step_of)[:-len(".index")]
     if path.endswith(".index"):
         return path[:-len(".index")]
     return path

@@ -226,10 +226,13 @@ def emt_disc_train(cfg: Config, input_path: str, base_dir: str, *,
     rng = np.random.default_rng(seed)
     val_rows = []
     for c, rows in feeder.by_class.items():
-        n_val = max(1, int(len(rows) * test_size))
+        # keep >=1 training row per class; a 1-row class trains only (no
+        # val) — re-adding its val row to training would leak the split
+        n_val = (max(1, min(int(len(rows) * test_size), len(rows) - 1))
+                 if len(rows) > 1 else 0)
         idx = rng.permutation(len(rows))
         val_rows += [rows[i] for i in idx[:n_val]]
-        feeder.by_class[c] = [rows[i] for i in idx[n_val:]] or rows
+        feeder.by_class[c] = [rows[i] for i in idx[n_val:]]
 
     model = EmtDisc(config=cfg, n_classes=n_classes)
     it = feeder.batches(N=min(n_classes, len(feeder.classes)),
@@ -288,12 +291,23 @@ def emt_disc_train(cfg: Config, input_path: str, base_dir: str, *,
     return ckpt_dir, params
 
 
-def load_pretrained_disc(ckpt_dir: str, template_params) -> dict:
-    """Load a trained disc checkpoint for import into the Tacotron model."""
+def load_pretrained_disc(ckpt_dir: str, template_params=None) -> dict:
+    """Load a trained disc checkpoint for import into the Tacotron model.
+
+    Returns {"params": <ReferenceEncoder subtree>, "batch_stats": <matching
+    batch_stats subtree or {}>} regardless of whether the checkpoint stored
+    the full DiscriminatorModel tree (disc_train's format) or a bare
+    encoder subtree. `template_params` is unused (kept for signature
+    stability) — the checkpoint's own structure is restored."""
     mgr = CheckpointManager(ckpt_dir)
-    restored = mgr.restore({"params": template_params, "batch_stats": {}})
+    restored = mgr.restore()
     mgr.close()
-    return restored["params"]
+    params = restored.get("params", restored)
+    bs = restored.get("batch_stats") or {}
+    if isinstance(params, dict) and "pretrained_ref_enc" in params:
+        params = params["pretrained_ref_enc"]
+        bs = bs.get("pretrained_ref_enc", {}) if isinstance(bs, dict) else {}
+    return {"params": params, "batch_stats": bs}
 
 
 def disc_test(cfg: Config, ckpt_dir: str, map_path: str, out_dir: str, *,

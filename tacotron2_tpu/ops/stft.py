@@ -282,6 +282,10 @@ def frame_uncentered(y: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
     k = -(-frame_len // hop)
     need = (num - 1 + k) * hop
     y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, max(0, need - y.shape[-1]))])
+    # trim to the hop multiple actually read: without this the reshape
+    # fails whenever the input length is not a hop multiple (e.g. the
+    # istft_tf output hop·(frames-1)+win with win % hop != 0)
+    y = y[..., :need]
     y2d = y.reshape(y.shape[:-1] + (-1, hop))
     planes = [y2d[..., s: s + num, :] for s in range(k)]
     return jnp.concatenate(planes, axis=-1)[..., :frame_len]

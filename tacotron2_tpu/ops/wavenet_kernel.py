@@ -140,7 +140,11 @@ class _HeadPlan:
         tri = (r <= c).astype(jnp.float32)
         cum = jnp.dot(e, tri, preferred_element_type=jnp.float32)   # [B, Q]
         tot = cum[:, Q - 1:Q]
-        pick = (u[:, None] * tot < cum).astype(jnp.float32)  # monotone in Q
+        # last-class fallback: u*tot can round UP to tot in f32 (u_max =
+        # 1-2^-25), which would make every comparison False and emit an
+        # all-zero "one-hot" (~2^-24 per draw — an audible click at B=256)
+        last = jax.lax.broadcasted_iota(jnp.int32, (Bq, Q), 1) == Q - 1
+        pick = ((u[:, None] * tot < cum) | last).astype(jnp.float32)
         return pick - jnp.concatenate(
             [jnp.zeros((Bq, 1), jnp.float32), pick[:, :Q - 1]], axis=-1)
 

@@ -130,9 +130,13 @@ class TacotronSynthesizer:
             fired |= fin.any(axis=1)
             if fired.all():
                 break
-        frames = jnp.asarray(np.concatenate(frames_l, axis=1))
-        stops = np.concatenate(stops_l, axis=1)
-        aligns = np.concatenate(aligns_l, axis=2)
+        r = tc.outputs_per_step
+        # the block loop rounds up to ceil(steps/k)*k decoder steps; trim to
+        # the requested cap so non-converged streams match the scan/fused
+        # paths' max_steps semantics
+        frames = jnp.asarray(np.concatenate(frames_l, axis=1)[:, : steps * r])
+        stops = np.concatenate(stops_l, axis=1)[:, : steps * r]
+        aligns = np.concatenate(aligns_l, axis=2)[:, :, : steps]
         _, mel_out = self._jit_postnet(self.params, self.batch_stats, frames)
         return mel_out, aligns, stops
 

@@ -36,11 +36,18 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of `abstract_state` (a live pytree)."""
+    def restore(self, abstract_state: Any = None,
+                step: Optional[int] = None) -> Any:
+        """Restore into the structure of `abstract_state` (a live pytree).
+
+        With abstract_state=None, restores the checkpoint's own saved
+        structure (for consumers that don't know the saved tree, e.g.
+        importing another model's discriminator checkpoint)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        if abstract_state is None:
+            return self._mgr.restore(step)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def close(self):

@@ -93,11 +93,9 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
             src = "TF"
         else:
             from ..disc.train import load_pretrained_disc
-            restored = load_pretrained_disc(path, state.params[scope])
-            sub = restored["params"].get("pretrained_ref_enc",
-                                         restored["params"])
-            sub_stats = restored.get("batch_stats", {}).get(
-                "pretrained_ref_enc", {})
+            restored = load_pretrained_disc(path)
+            sub = restored["params"]
+            sub_stats = restored["batch_stats"]
             src = "orbax"
         from .checkpoint import import_pretrained_subtree
         state = state._replace(params=import_pretrained_subtree(

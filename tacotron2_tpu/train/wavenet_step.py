@@ -32,14 +32,20 @@ class WaveNetTrainer:
         self.model = WaveNet(config=cfg)
         self.tx = make_wavenet_optimizer(cfg)
 
-    def init_state(self, rng, batch: Dict[str, Any]) -> WaveNetTrainState:
+    def init_state(self, rng, batch: Dict[str, Any],
+                   skip_data_dependent_init: bool = False
+                   ) -> WaveNetTrainState:
         g = batch.get("g") if self.cfg.wavenet.gin_channels > 0 else None
         variables = self.model.init(
             dict(params=rng, dropout=jax.random.PRNGKey(0)),
             batch["x"], batch["c"], g, train=True)
         params = variables["params"]
         wn = self.cfg.wavenet
-        if wn.weight_normalization and wn.data_dependent_init:
+        # skip_data_dependent_init: the DDI forward passes are O(#weight-
+        # normed convs) un-jitted model applies — pointless when a
+        # checkpoint restore is about to overwrite the params
+        if (wn.weight_normalization and wn.data_dependent_init
+                and not skip_data_dependent_init):
             from ..models.wavenet.model import data_dependent_init
             from ..utils.infolog import log
             log("Applying weight normalization data-dependent init "

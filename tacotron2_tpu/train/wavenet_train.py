@@ -55,15 +55,17 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
             "a missing audio-*.npy, rerun preprocessing with --write-audio — "
             "vocoder training needs waveform targets alongside the mels."
         ) from e
+    mgr = CheckpointManager(ckpt_dir, cfg.train.max_checkpoints_to_keep)
+    will_restore = restore and mgr.latest_step() is not None
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.wavenet_random_seed),
-                               first)
+                               first,
+                               skip_data_dependent_init=will_restore)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     log(f"Initialized WaveNet model. Receptive field {cfg.wavenet.receptive_field} "
         f"samples ({cfg.wavenet.receptive_field / cfg.audio.sample_rate * 1000:.1f} ms). "
         f"WaveNet Parameters {n_params / 1e6:.3f} Million.")
 
-    mgr = CheckpointManager(ckpt_dir, cfg.train.max_checkpoints_to_keep)
-    if restore and mgr.latest_step() is not None:
+    if will_restore:
         state = mgr.restore(state)
         log(f"Restored checkpoint at step {int(state.step)}")
 

@@ -290,3 +290,25 @@ def test_fused_sampler_bf16_weights_close():
                                       weight_dtype=jnp.bfloat16)
     err = np.max(np.abs(np.asarray(s_f32) - np.asarray(s_bf16)))
     assert err < 0.1, f"bf16 weights drifted too far: max err {err}"
+
+
+def test_inverse_cdf_onehot_extreme_uniform():
+    """u at (or rounding to) 1.0 must still emit a valid one-hot: without
+    the last-class fallback, u*tot == tot makes every CDF comparison False
+    and the sampler would emit an all-zero vector (review finding)."""
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.ops.wavenet_kernel import _HeadPlan
+
+    logits = jnp.asarray(np.log([[0.2, 0.5, 0.3],
+                                 [0.9, 0.05, 0.05]]), jnp.float32)
+    for u_val in (0.0, 0.5, 1.0 - 2 ** -25, 1.0):
+        u = jnp.full((2,), u_val, jnp.float32)
+        oh = np.asarray(_HeadPlan._inverse_cdf_onehot(logits, u))
+        np.testing.assert_allclose(oh.sum(-1), 1.0)
+        assert ((oh == 0) | (oh == 1)).all()
+    # u=0 -> first class, u→1 -> last class
+    oh0 = np.asarray(_HeadPlan._inverse_cdf_onehot(logits, jnp.zeros(2)))
+    assert oh0.argmax(-1).tolist() == [0, 0]
+    oh1 = np.asarray(_HeadPlan._inverse_cdf_onehot(logits, jnp.ones(2)))
+    assert oh1.argmax(-1).tolist() == [2, 2]
