@@ -248,8 +248,19 @@ class Tacotron(nn.Module):
                          ref_mel_spk):
         """Encoder + style + memory concat + attention keys + padding mask —
         the part of _decode_pass that runs once per utterance batch."""
+        keys, memory, mask, _, _ = self.synthesis_memory_ext(
+            inputs, input_lengths, ref_mel_emt, ref_mel_spk)
+        return keys, memory, mask
+
+    def synthesis_memory_ext(self, inputs, input_lengths, ref_mel_emt,
+                             ref_mel_spk):
+        """synthesis_memory plus the decoder-side emt-attention operands
+        (emt_memory sequence, spk ref feed) needed to drive
+        Decoder.autoregressive step blocks under the `emt_attn` variant
+        (reference tacotron_emt_attn.py:261-285)."""
+        gst = self.config.gst
         encoder_outputs = self.encode(inputs, input_lengths, train=False)
-        style_emb, _, _, _ = self._style_embeddings(
+        style_emb, _, refnet_spk, emt_memory = self._style_embeddings(
             ref_mel_emt, ref_mel_spk, train=False)
         T_in = encoder_outputs.shape[1]
         style_tiled = jnp.broadcast_to(
@@ -260,7 +271,9 @@ class Tacotron(nn.Module):
         else:
             mask = jnp.ones((memory.shape[0], T_in), bool)
         keys = self.decoder.cell.attention.compute_keys(memory)
-        return keys, memory, mask
+        ref_spk_feed = refnet_spk if (gst.emt_attn and not self.emt_only) \
+            else None
+        return keys, memory, mask, emt_memory, ref_spk_feed
 
     def postnet_pass(self, frames):
         """Clip + postnet residual + clip — the tail of _decode_pass."""

@@ -162,6 +162,374 @@ def _attention_operands(dp: DecoderParams, keys, T: int, dtype):
     return band_a.astype(dtype), vmat.astype(dtype), keys2.astype(dtype)
 
 
+class DecoderKernelState(NamedTuple):
+    """Carry state of the blocked fused decode (build_decoder_block_kernel).
+
+    Mirrors models/tacotron/decoder.py DecoderState (reference
+    TacotronDecoderCellState, Architecture_wrappers.py:48-69) in the kernel's
+    padded layouts: lane-padded xprev/pmax, Tp-padded cumulative alignments.
+    """
+
+    xprev: jnp.ndarray   # [B, 128] f32 (first `mels` cols = last frame)
+    c1: jnp.ndarray      # [B, U] f32
+    h1: jnp.ndarray      # [B, U] f32
+    c2: jnp.ndarray      # [B, U] f32
+    h2: jnp.ndarray      # [B, U] f32
+    ctx: jnp.ndarray     # [B, M] f32 attention context
+    cum: jnp.ndarray     # [B, Tp] f32 cumulative alignments
+    pmax: jnp.ndarray    # [B, 128] i32 previous argmax (window constraint)
+
+
+def init_decoder_state(cfg: Config, B: int, T_in: int, M: int
+                       ) -> DecoderKernelState:
+    """Zero carry for a fresh utterance batch (decoder.zero_state parity)."""
+    U = cfg.tacotron.decoder_lstm_units
+    Tp = ((T_in + 127) // 128) * 128
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return DecoderKernelState(
+        xprev=z(B, 128), c1=z(B, U), h1=z(B, U), c2=z(B, U), h2=z(B, U),
+        ctx=z(B, M), cum=z(B, Tp),
+        pmax=jnp.zeros((B, 128), jnp.int32))
+
+
+def _tiled_attention_operands(dp: DecoderParams, keys, Tp: int, dtype):
+    """Tile-local attention operands for the blocked kernel.
+
+    The monolithic kernel's [Tp, Tp*A] Toeplitz band is quadratic in T_in and
+    is what capped it at T_in <= 256. The location conv only spans +-15
+    positions (k=31, attention.py:37-44), so a 128-wide tile of location
+    features depends on a 384-wide window of the cumulative alignments — ONE
+    [384, 128*A] operand shared by every tile (edges handled by zero padding
+    of the cum buffer):
+
+    - band3 [384, 128*A]: band3[w, tl*A+a] = wp[k, a] at w = tl + k + 128-pad
+      where wp = loc_k @ wloc (conv folded with the location projection);
+    - vmat128 [128*A, 128]: block-diagonal v_a for the per-tile energy
+      reduction over A;
+    - keys2 [B, Tp*A]: flattened keys with the attention bias pre-added
+      (tile i occupies columns [i*128*A, (i+1)*128*A)).
+    """
+    K, F = dp.loc_k.shape
+    A = dp.wq.shape[1]
+    pad = (K - 1) // 2
+    wp = (dp.loc_k.astype(jnp.float32) @ dp.wloc.astype(jnp.float32))  # [K, A]
+    Wb = 384
+    band3 = jnp.zeros((Wb, 128 * A), jnp.float32)
+    for k in range(K):
+        eye = jnp.eye(Wb, 128, -(k + 128 - pad), dtype=jnp.float32)
+        band3 = band3 + (eye[:, :, None] * wp[k][None, None, :]
+                         ).reshape(Wb, 128 * A)
+    vmat128 = (jnp.eye(128, dtype=jnp.float32)[:, None, :]
+               * dp.v_a.astype(jnp.float32)[None, :, None]).reshape(128 * A, 128)
+    b_eff = dp.b_a + dp.loc_b @ dp.wloc
+    B = keys.shape[0]
+    keys2 = (keys.astype(jnp.float32)
+             + b_eff[None, None, :]).reshape(B, Tp * A)
+    return band3.astype(dtype), vmat128.astype(dtype), keys2.astype(dtype)
+
+
+def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
+                               M: int, *,
+                               weight_dtype=jnp.bfloat16,
+                               emit_alignments: bool = True,
+                               interpret: bool = False):
+    """Compile a K-step fused decode block with explicit carry state.
+
+    Long-input complement to build_decoder_kernel: the quadratic [Tp, Tp*A]
+    location operands are replaced by tile-local ones (_tiled_attention_
+    operands), and the decode runs K_steps per kernel call with the decoder
+    state as explicit inputs/outputs — the host loops blocks and stops early
+    once every stream's stop token fired (the reference dynamic_decode exit,
+    custom_decoder.py:107-139). VMEM then scales with B*Tp*M (the resident
+    memory/keys operands), not Tp^2, covering T_in up to ~512 at B=32 and
+    ~1024 at B=16 on v5e.
+
+    Returns fn(dp, keys [B,T,A], memory [B,T,M], mask [B,T] bool,
+    state: DecoderKernelState, seed) -> (frames [B, K*r, mels],
+    stop_probs [B, K*r], alignments [B, T_in, K] | None, new_state).
+    """
+    tc, au = cfg.tacotron, cfg.audio
+    assert not cfg.gst.emt_attn, "emt_attn decoding uses the XLA scan path"
+    U = tc.decoder_lstm_units
+    A = tc.attention_dim
+    P = tc.prenet_layers[-1]
+    assert tuple(tc.prenet_layers) == (P, P), "kernel assumes 2 equal prenet FCs"
+    r = tc.outputs_per_step
+    mels = au.num_mels
+    FO = r * mels + r
+    drop = float(tc.dropout_rate)
+    keep = 1.0 - drop
+    zo = float(tc.zoneout_rate)
+    Tp = ((T_in + 127) // 128) * 128
+    nt = Tp // 128
+    smoothing = bool(tc.smoothing)
+    K = int(K_steps)
+    constraint = bool(tc.synthesis_constraint)
+    ctype = tc.synthesis_constraint_type
+    win = int(tc.attention_win_size)
+    fwd = win // 2 if ctype == "window" else win
+    back = (win // 2 + win % 2) if ctype == "window" else 0
+
+    def kernel(seed_ref,
+               keys_ref, mem_ref, mask_ref, band_ref, vmat_ref, smask_ref,
+               xprev_in, c1_in, h1_in, c2_in, h2_in, ctx_in, cum_in, pmax_in,
+               pre_w0, pre_b0, pre_w1, pre_b1,
+               l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
+               wq, proj_wo, proj_wc, proj_b,
+               out_ref, *rest):
+        if emit_alignments:
+            align_out = rest[0]
+            state_out = rest[1:9]
+            scratch = rest[9:]
+        else:
+            state_out = rest[0:8]
+            scratch = rest[8:]
+        (xprev, c1, h1, c2, h2, ctx, pmax, cum_pad, energy_s) = scratch
+        pltpu.prng_seed(seed_ref[0])
+        xprev[:] = xprev_in[:]
+        c1[:] = c1_in[:]
+        h1[:] = h1_in[:]
+        c2[:] = c2_in[:]
+        h2[:] = h2_in[:]
+        ctx[:] = ctx_in[:]
+        pmax[:] = pmax_in[:]
+        cum_pad[:] = jnp.zeros((B, Tp + 256), jnp.float32)
+        cum_pad[:, 128:128 + Tp] = cum_in[:]
+
+        idx_t = jax.lax.broadcasted_iota(jnp.int32, (B, Tp), 1)
+        mask = mask_ref[:]                                   # [B, Tp] f32 1/0
+
+        def step_body(t, _):
+            # ---- prenet (dropout ALWAYS on)
+            x = xprev[:, :mels]
+            hpre = jnp.maximum(
+                jnp.dot(x.astype(weight_dtype), pre_w0[:],
+                        preferred_element_type=jnp.float32) + pre_b0[:], 0.0)
+            if drop > 0:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((2, B, P)), jnp.uint32)
+                u = _uniform_from_bits(bits)
+                hpre = jnp.where(u[0] < keep, hpre * (1.0 / keep), 0.0)
+            hpre = jnp.maximum(
+                jnp.dot(hpre.astype(weight_dtype), pre_w1[:],
+                        preferred_element_type=jnp.float32) + pre_b1[:], 0.0)
+            if drop > 0:
+                hpre = jnp.where(u[1] < keep, hpre * (1.0 / keep), 0.0)
+
+            # ---- LSTM1 on concat(prenet, context) via split matmuls
+            ctx_now = ctx[:]
+            z1 = (jnp.dot(hpre.astype(weight_dtype), l1_wp[:],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(ctx_now.astype(weight_dtype), l1_wc[:],
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(h1[:].astype(weight_dtype), l1_wh[:],
+                            preferred_element_type=jnp.float32)
+                  + l1_b[:])
+            i1, j1, f1, o1 = (z1[:, :U], z1[:, U:2 * U],
+                              z1[:, 2 * U:3 * U], z1[:, 3 * U:])
+            nc1 = jax.nn.sigmoid(f1) * c1[:] + jax.nn.sigmoid(i1) * jnp.tanh(j1)
+            nh1 = jax.nn.sigmoid(o1) * jnp.tanh(nc1)
+            c1[:] = (1 - zo) * nc1 + zo * c1[:]
+            h1[:] = (1 - zo) * nh1 + zo * h1[:]
+
+            z2 = (jnp.dot(h1[:].astype(weight_dtype), l2_wx[:],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(h2[:].astype(weight_dtype), l2_wh[:],
+                            preferred_element_type=jnp.float32)
+                  + l2_b[:])
+            i2, j2, f2, o2 = (z2[:, :U], z2[:, U:2 * U],
+                              z2[:, 2 * U:3 * U], z2[:, 3 * U:])
+            nc2 = jax.nn.sigmoid(f2) * c2[:] + jax.nn.sigmoid(i2) * jnp.tanh(j2)
+            nh2 = jax.nn.sigmoid(o2) * jnp.tanh(nc2)
+            c2[:] = (1 - zo) * nc2 + zo * c2[:]
+            h2[:] = (1 - zo) * nh2 + zo * h2[:]
+            out2 = h2[:]
+
+            # ---- location-sensitive attention, tiled over 128-wide tiles:
+            # per tile, loc = cum_window[B,384] @ band3 and the energy
+            # reduction e2 @ vmat128 land in a [B, Tp] scratch; softmax and
+            # the context matmul then run full-width (attention.py:54-96)
+            q = jnp.dot(out2.astype(weight_dtype), wq[:],
+                        preferred_element_type=jnp.float32)       # [B, A]
+            q_rep = pltpu.repeat(q, 128, axis=1)                  # [B, 128*A]
+            for i in range(nt):
+                window = cum_pad[:, i * 128:i * 128 + 384]
+                loc_i = jnp.dot(window.astype(weight_dtype), band_ref[:],
+                                preferred_element_type=jnp.float32)
+                e2 = jnp.tanh(keys_ref[:, i * 128 * A:(i + 1) * 128 * A]
+                              + q_rep + loc_i)
+                energy_s[:, i * 128:(i + 1) * 128] = jnp.dot(
+                    e2.astype(weight_dtype), vmat_ref[:],
+                    preferred_element_type=jnp.float32)
+            energy = energy_s[:]
+
+            if constraint:
+                p = pmax[:, :1]
+                forbidden = (idx_t < p - back) | (idx_t >= p + fwd)
+                energy = jnp.where(forbidden, NEG_INF, energy)
+            energy = jnp.where(mask > 0, energy, NEG_INF)
+            if smoothing:
+                sig = jax.nn.sigmoid(energy) * mask
+                align = sig / jnp.sum(sig, axis=-1, keepdims=True)
+            else:
+                emax = jnp.max(energy, axis=-1, keepdims=True)
+                ex = jnp.exp(energy - emax) * mask
+                align = ex / jnp.sum(ex, axis=-1, keepdims=True)
+            cum_pad[:, 128:128 + Tp] = cum_pad[:, 128:128 + Tp] + align
+            if constraint:
+                pmax[:, :1] = jnp.argmax(align, axis=-1,
+                                         keepdims=True).astype(jnp.int32)
+            a_rep = pltpu.repeat(align, B, axis=1)                # [B, B*Tp]
+            ablk = (a_rep * smask_ref[:]).astype(weight_dtype)
+            new_ctx = jnp.dot(ablk, mem_ref[:],
+                              preferred_element_type=jnp.float32)  # [B, M]
+            ctx[:] = new_ctx
+
+            # ---- fused frame+stop projection on concat(out2, context)
+            proj = (jnp.dot(out2.astype(weight_dtype), proj_wo[:],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(new_ctx.astype(weight_dtype), proj_wc[:],
+                              preferred_element_type=jnp.float32)
+                    + proj_b[:])                                  # [B, FO]
+            frames, stops = proj[:, :r * mels], proj[:, r * mels:]
+            out = jnp.concatenate(
+                [frames, jax.nn.sigmoid(stops)], axis=-1)
+            out_ref[t] = out
+            if emit_alignments:
+                align_out[t] = align.astype(align_out.dtype)
+            xprev[:, :mels] = frames[:, (r - 1) * mels:]
+            return 0
+
+        jax.lax.fori_loop(0, K, step_body, 0)
+
+        (xprev_o, c1_o, h1_o, c2_o, h2_o, ctx_o, cum_o, pmax_o) = state_out
+        xprev_o[:] = xprev[:]
+        c1_o[:] = c1[:]
+        h1_o[:] = h1[:]
+        c2_o[:] = c2[:]
+        h2_o[:] = h2[:]
+        ctx_o[:] = ctx[:]
+        cum_o[:] = cum_pad[:, 128:128 + Tp]
+        pmax_o[:] = pmax[:]
+
+    state_shapes = [
+        jax.ShapeDtypeStruct((B, 128), jnp.float32),   # xprev
+        jax.ShapeDtypeStruct((B, U), jnp.float32),     # c1
+        jax.ShapeDtypeStruct((B, U), jnp.float32),     # h1
+        jax.ShapeDtypeStruct((B, U), jnp.float32),     # c2
+        jax.ShapeDtypeStruct((B, U), jnp.float32),     # h2
+        jax.ShapeDtypeStruct((B, M), jnp.float32),     # ctx
+        jax.ShapeDtypeStruct((B, Tp), jnp.float32),    # cum
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),     # pmax
+    ]
+    n_weights = 15
+    out_shapes = [jax.ShapeDtypeStruct((K, B, FO), jnp.float32)]
+    if emit_alignments:
+        out_shapes.append(jax.ShapeDtypeStruct((K, B, Tp), jnp.bfloat16))
+    out_shapes.extend(state_shapes)
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (6 + len(state_shapes) + n_weights),
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((B, 128), jnp.float32),        # xprev
+            pltpu.VMEM((B, U), jnp.float32),          # c1
+            pltpu.VMEM((B, U), jnp.float32),          # h1
+            pltpu.VMEM((B, U), jnp.float32),          # c2
+            pltpu.VMEM((B, U), jnp.float32),          # h2
+            pltpu.VMEM((B, M), jnp.float32),          # context
+            pltpu.VMEM((B, 128), jnp.int32),          # prev max attention
+            pltpu.VMEM((B, Tp + 256), jnp.float32),   # padded cum alignments
+            pltpu.VMEM((B, Tp), jnp.float32),         # energy scratch
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )
+
+    @jax.jit
+    def run(dp: DecoderParams, keys, memory, mask, state: DecoderKernelState,
+            seed):
+        wd = weight_dtype
+        pad_t = Tp - keys.shape[1]
+        keys = jnp.pad(keys, ((0, 0), (0, pad_t), (0, 0)))
+        memory = jnp.pad(memory, ((0, 0), (0, pad_t), (0, 0)))
+        if mask is None:
+            mask = jnp.ones((B, T_in), bool)
+        mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
+        band3, vmat128, keys2 = _tiled_attention_operands(dp, keys, Tp, wd)
+        mem2 = memory.reshape(B * Tp, M).astype(wd)
+        smask = (jnp.arange(B)[:, None]
+                 == jnp.arange(B * Tp)[None, :] // Tp).astype(jnp.float32)
+        weights = (
+            dp.pre_w0.astype(wd), dp.pre_b0.astype(jnp.float32),
+            dp.pre_w1.astype(wd), dp.pre_b1.astype(jnp.float32),
+            dp.l1_wp.astype(wd), dp.l1_wc.astype(wd), dp.l1_wh.astype(wd),
+            dp.l1_b.astype(jnp.float32),
+            dp.l2_wx.astype(wd), dp.l2_wh.astype(wd),
+            dp.l2_b.astype(jnp.float32),
+            dp.wq.astype(wd),
+            dp.proj_wo.astype(wd), dp.proj_wc.astype(wd),
+            dp.proj_b.astype(jnp.float32))
+        outs = call(jnp.asarray([seed], jnp.int32),
+                    keys2, mem2, mask, band3, vmat128, smask,
+                    *state, *weights)
+        out = outs[0]
+        if emit_alignments:
+            align_raw, new_state = outs[1], outs[2:]
+        else:
+            align_raw, new_state = None, outs[1:]
+        frames = (out[:, :, :r * mels].transpose(1, 0, 2)
+                  .reshape(B, K * r, mels))
+        stops = out[:, :, r * mels:].transpose(1, 0, 2).reshape(B, K * r)
+        aligns = None
+        if align_raw is not None:
+            aligns = (align_raw[:, :, :T_in].astype(jnp.float32)
+                      .transpose(1, 2, 0))                 # [B, T_in, K]
+        return frames, stops, aligns, DecoderKernelState(*new_state)
+
+    return run
+
+
+def block_kernel_vmem_bytes(cfg: Config, B: int, T_in: int, K_steps: int,
+                            M: int) -> int:
+    """Estimated VMEM residency of build_decoder_block_kernel — used by the
+    synthesizer to gate eligibility (operands + weights + outputs + scratch)."""
+    tc, au = cfg.tacotron, cfg.audio
+    U, A, P = tc.decoder_lstm_units, tc.attention_dim, tc.prenet_layers[-1]
+    r = tc.outputs_per_step
+    mels = au.num_mels
+    FO = r * mels + r
+    Tp = ((T_in + 127) // 128) * 128
+    wd = 2  # bf16 operand/weight bytes
+    operands = (B * Tp * A * wd          # keys2
+                + B * Tp * M * wd        # mem2
+                + 384 * 128 * A * wd     # band3
+                + 128 * A * 128 * wd     # vmat128
+                + B * B * Tp * 4         # smask f32
+                + B * Tp * 4)            # mask
+    weights = ((mels * P + P * P) * wd
+               + (P + M + U) * 4 * U * wd
+               + (2 * U) * 4 * U * wd
+               + U * A * wd
+               + (U + M) * FO * wd)
+    outs = K_steps * B * (FO * 4 + Tp * 2) + B * (128 * 4 + 4 * U * 4
+                                                  + M * 4 + Tp * 4 + 128 * 4)
+    scratch = B * (128 * 4 + 4 * U * 4 + M * 4 + 128 * 4
+                   + (Tp + 256) * 4 + Tp * 4)
+    return operands + weights + outs + scratch
+
+
 def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
                          M: int, *,
                          weight_dtype=jnp.bfloat16,

@@ -34,6 +34,17 @@ def _round_up(x: int, m: int) -> int:
     return x if x % m == 0 else x + m - x % m
 
 
+def gl_pad_value(a) -> float:
+    """Mel value used to pad a Griffin-Lim batch: must denormalize to
+    min_level_db silence, NOT to a loud frame (a -max_abs_value pad in the
+    raw-dB domain would invert to near-full-scale noise)."""
+    if a.signal_normalization:
+        # normalized-domain silence: denormalizes to min_level_db
+        return -a.max_abs_value if a.symmetric_mels else 0.0
+    # raw-dB domain: inv path adds ref_level_db back before dB→amp
+    return a.min_level_db - a.ref_level_db
+
+
 class TacotronSynthesizer:
     """Bound model + params with batched synthesis entry points."""
 
@@ -81,16 +92,17 @@ class TacotronSynthesizer:
         return self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             inputs, input_lengths, ref_mel_emt, ref_mel_spk,
-            method=Tacotron.synthesis_memory)
+            method=Tacotron.synthesis_memory_ext)
 
     def _block_fn(self, params, batch_stats, carry, keys, memory, mask,
-                  rngs, *, k: int):
+                  emt_memory, ref_spk, rngs, *, k: int):
         """One K-step autoregressive block from an explicit decoder state."""
         from ..models.tacotron.decoder import Decoder
         dec = Decoder(config=self.cfg)
         frames, stops, aligns, _, new_carry = dec.apply(
             {"params": params["decoder"]}, memory.shape[0], k, keys, memory,
-            mask, initial_state=carry, return_state=True,
+            mask, emt_memory=emt_memory, ref_spk=ref_spk,
+            initial_state=carry, return_state=True,
             method=Decoder.autoregressive, rngs=rngs)
         return frames, stops, aligns, new_carry
 
@@ -107,7 +119,7 @@ class TacotronSynthesizer:
 
         from ..models.tacotron.decoder import Decoder
         tc = self.cfg.tacotron
-        keys, memory, mask = self._jit_memory(
+        keys, memory, mask, emt_memory, ref_spk = self._jit_memory(
             self.params, self.batch_stats, jnp.asarray(inputs),
             jnp.asarray(input_lengths), jnp.asarray(refs_emt),
             jnp.asarray(refs_spk))
@@ -121,7 +133,7 @@ class TacotronSynthesizer:
         for b in range(n_blocks):
             frames, stops, aligns, carry = self._jit_block(
                 self.params, self.batch_stats, carry, keys, memory, mask,
-                self._rngs(), k=k)
+                emt_memory, ref_spk, self._rngs(), k=k)
             frames_l.append(np.asarray(frames))
             stops_l.append(np.asarray(stops))
             aligns_l.append(np.asarray(aligns))
@@ -153,6 +165,72 @@ class TacotronSynthesizer:
                 and t_in_padded <= 256               # VMEM: operands ~ T^2
                 and len(set(tc.prenet_layers)) == 1)
 
+    def _fused_block_eligible(self, batch: int, t_in_padded: int) -> bool:
+        """Long-input fused path: the blocked kernel's tiled attention
+        operands scale with B*Tp*M instead of Tp^2, so T_in beyond 256 stays
+        on the MXU as long as the resident operands fit VMEM (~512 at B<=32,
+        ~1024 at B<=16 on v5e)."""
+        from ..ops.tacotron_decoder_kernel import block_kernel_vmem_bytes
+        tc, gst = self.cfg.tacotron, self.cfg.gst
+        if not (tc.use_fused_decoder
+                and jax.default_backend() == "tpu"
+                and not gst.emt_attn
+                and len(set(tc.prenet_layers)) == 1):
+            return False
+        k = max(tc.early_stop_block, 1)
+        M = 1024  # memory width estimate; exact width checked at build
+        return block_kernel_vmem_bytes(
+            self.cfg, batch, t_in_padded, k, M) <= 100 * 1024 * 1024
+
+    def _fused_block_synth(self, inputs, input_lengths, refs_emt, refs_spk,
+                           steps: int, k: int):
+        """Blocked fused decode for long inputs: K-step Pallas kernel calls
+        with explicit carry, host-side early exit between blocks (the
+        reference dynamic_decode stop, custom_decoder.py:107-139)."""
+        import jax.numpy as jnp
+
+        from ..ops.tacotron_decoder_kernel import (build_decoder_block_kernel,
+                                                   extract_decoder_params,
+                                                   init_decoder_state)
+        tc = self.cfg.tacotron
+        keys, memory, mask, _, _ = self._jit_memory(
+            self.params, self.batch_stats, jnp.asarray(inputs),
+            jnp.asarray(input_lengths), jnp.asarray(refs_emt),
+            jnp.asarray(refs_spk))
+        B, t_in, M = memory.shape
+        if self._dec_params is None:
+            self._dec_params = extract_decoder_params(self.params, self.cfg)
+        wd = (jnp.bfloat16 if tc.fused_decoder_dtype == "bfloat16"
+              else jnp.float32)
+        cache_key = ("block", B, t_in, M, k)
+        run = self._fused_cache.get(cache_key)
+        if run is None:
+            run = build_decoder_block_kernel(self.cfg, B, t_in, k, M,
+                                             weight_dtype=wd)
+            self._fused_cache[cache_key] = run
+        state = init_decoder_state(self.cfg, B, t_in, M)
+        fired = np.zeros(B, bool)
+        frames_l, stops_l, aligns_l = [], [], []
+        n_blocks = -(-steps // k)
+        for _ in range(n_blocks):
+            self._fused_seed += 1
+            frames, stops, aligns, state = run(
+                self._dec_params, keys, memory, mask, state, self._fused_seed)
+            frames_l.append(np.asarray(frames))
+            stops_l.append(np.asarray(stops))
+            aligns_l.append(np.asarray(aligns))
+            sp = stops_l[-1].reshape(B, k, tc.outputs_per_step)
+            fin = (sp.max(-1) if tc.stop_at_any else sp.min(-1)) > 0.5
+            fired |= fin.any(axis=1)
+            if fired.all():
+                break
+        r = tc.outputs_per_step
+        frames = jnp.asarray(np.concatenate(frames_l, axis=1)[:, : steps * r])
+        stops = np.concatenate(stops_l, axis=1)[:, : steps * r]
+        aligns = np.concatenate(aligns_l, axis=2)[:, :, : steps]
+        _, mel_out = self._jit_postnet(self.params, self.batch_stats, frames)
+        return mel_out, aligns, stops
+
     def _fused_synth(self, inputs, input_lengths, refs_emt, refs_spk,
                      steps: int):
         """Autoregressive decode via the fused Pallas kernel: jitted
@@ -161,7 +239,7 @@ class TacotronSynthesizer:
 
         from ..ops.tacotron_decoder_kernel import (build_decoder_kernel,
                                                    extract_decoder_params)
-        keys, memory, mask = self._jit_memory(
+        keys, memory, mask, _, _ = self._jit_memory(
             self.params, self.batch_stats, jnp.asarray(inputs),
             jnp.asarray(input_lengths), jnp.asarray(refs_emt),
             jnp.asarray(refs_spk))
@@ -237,10 +315,21 @@ class TacotronSynthesizer:
         else:
             steps = max_steps or self.cfg.tacotron.max_iters
             k = self.cfg.tacotron.early_stop_block
+            # emt_attn block decode needs the emt-attention operands threaded
+            # through the jitted block; style_tokens additionally needs emt
+            # labels (not part of the synthesize() API) so it keeps the
+            # one-shot scan path
+            blockable = (not self.cfg.gst.emt_attn
+                         or self.cfg.gst.emt_attn_type in ("simple",
+                                                           "multihead"))
             if self._fused_eligible(inputs.shape[1]):
                 mels, aligns, stops = self._fused_synth(
                     inputs, input_lengths, refs_emt, refs_spk, steps)
-            elif 0 < k < steps and not self.cfg.gst.emt_attn:
+            elif (0 < k < steps and self._fused_block_eligible(
+                    len(inputs), inputs.shape[1])):
+                mels, aligns, stops = self._fused_block_synth(
+                    inputs, input_lengths, refs_emt, refs_spk, steps, k)
+            elif 0 < k < steps and blockable:
                 mels, aligns, stops = self._scan_block_synth(
                     inputs, input_lengths, refs_emt, refs_spk, steps, k)
             else:
@@ -280,12 +369,7 @@ class TacotronSynthesizer:
         if not len(mels):
             return []
         a = self.cfg.audio
-        if a.signal_normalization:
-            # normalized-domain silence: denormalizes to min_level_db
-            pad_val = -a.max_abs_value if a.symmetric_mels else 0.0
-        else:
-            # raw-dB domain: inv path adds ref_level_db back before dB→amp
-            pad_val = a.min_level_db - a.ref_level_db
+        pad_val = gl_pad_value(a)
         F = max(m.shape[0] for m in mels)
         F = _round_up(F, 64) + 1
         batch = np.stack([np.pad(np.asarray(m, np.float32),

@@ -14,7 +14,8 @@ import pytest
 from tacotron2_tpu.config import get_config
 from tacotron2_tpu.models.tacotron.decoder import Decoder
 from tacotron2_tpu.ops.tacotron_decoder_kernel import (
-    DecoderParams, build_decoder_kernel, extract_decoder_params)
+    DecoderParams, build_decoder_block_kernel, build_decoder_kernel,
+    extract_decoder_params, init_decoder_state)
 
 B, T_IN, M, STEPS = 4, 20, 256, 6
 
@@ -185,6 +186,78 @@ def test_early_stop_block_matches_full_run(setup):
     f_blk2, s_blk2, _ = run_blk(dp_nostop, keys, memory, mask, 5)
     np.testing.assert_allclose(f_blk2, f_full2, atol=1e-5)
     np.testing.assert_allclose(s_blk2, s_full2, atol=1e-5)
+
+
+def test_block_kernel_matches_monolithic(setup):
+    """Chained K-step block kernels (tiled attention operands + explicit
+    carry) reproduce the monolithic kernel's full run when dropout is off."""
+    cfg, params, keys, memory, mask = setup
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    steps, k = 12, 4
+    run_full = build_decoder_kernel(cfg, B, T_IN, steps, M,
+                                    weight_dtype=jnp.float32, interpret=True)
+    f_full, s_full, a_full = run_full(dp, keys, memory, mask, 3)
+
+    run_blk = build_decoder_block_kernel(cfg, B, T_IN, k, M,
+                                         weight_dtype=jnp.float32,
+                                         interpret=True)
+    state = init_decoder_state(cfg, B, T_IN, M)
+    fs, ss, als = [], [], []
+    for i in range(steps // k):
+        f, s_, a_, state = run_blk(dp, keys, memory, mask, state, 3 + i)
+        fs.append(np.asarray(f))
+        ss.append(np.asarray(s_))
+        als.append(np.asarray(a_))
+    np.testing.assert_allclose(np.concatenate(fs, 1), np.asarray(f_full),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.concatenate(ss, 1), np.asarray(s_full),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.concatenate(als, 2), np.asarray(a_full),
+                               rtol=0, atol=8e-3)
+
+
+def test_block_kernel_long_input_matches_scan():
+    """T_in beyond the monolithic kernel's 256 ceiling (Tp=384 here): the
+    blocked kernel matches the flax scan path."""
+    cfg = get_config("default")
+    cfg = cfg.with_overrides("tacotron.dropout_rate=0.0")
+    rng = np.random.default_rng(1)
+    B2, T2, M2, steps, k = 2, 300, 256, 8, 4
+    memory = jnp.asarray(rng.normal(size=(B2, T2, M2)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([T2, T2 - 60], jnp.int32)
+    mask = jnp.arange(T2)[None, :] < lengths[:, None]
+    keys = jnp.asarray(
+        rng.normal(size=(B2, T2, cfg.tacotron.attention_dim)) * 0.3,
+        jnp.float32)
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    variables = dec.init(rngs, B2, steps, keys, memory, mask,
+                         method=Decoder.autoregressive)
+    params = variables["params"]
+    f_ref, s_ref, a_ref, _ = dec.apply(
+        {"params": params}, B2, steps, keys, memory, mask,
+        method=Decoder.autoregressive,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    run_blk = build_decoder_block_kernel(cfg, B2, T2, k, M2,
+                                         weight_dtype=jnp.float32,
+                                         interpret=True)
+    state = init_decoder_state(cfg, B2, T2, M2)
+    fs, ss, als = [], [], []
+    for i in range(steps // k):
+        f, s_, a_, state = run_blk(dp, keys, memory, mask, state, 3 + i)
+        fs.append(np.asarray(f))
+        ss.append(np.asarray(s_))
+        als.append(np.asarray(a_))
+    np.testing.assert_allclose(np.concatenate(fs, 1), np.asarray(f_ref),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.concatenate(ss, 1), np.asarray(s_ref),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.concatenate(als, 2), np.asarray(a_ref),
+                               rtol=0, atol=8e-3)
 
 
 def test_scan_block_decode_matches_full_scan(setup):
