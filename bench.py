@@ -436,12 +436,16 @@ def main():
             for k, v in glt.items():
                 detail[f"griffin_lim_{k}"] = (round(v, 1)
                                               if isinstance(v, float) else v)
-            floats = [v for v in glt.values() if isinstance(v, float)]
+            floats = {k: v for k, v in glt.items() if isinstance(v, float)}
             if not floats:  # per-config errors are already in detail
                 raise RuntimeError("all G-L configs failed")
-            best = max(floats)
+            best_name = max(floats, key=floats.get)
+            best = floats[best_name]
             sections["griffin_lim"] = best
             detail["griffin_lim_audio_s_per_s"] = round(best, 1)
+            # which dtype produced the headline (f32 = reference-parity math,
+            # bf16 = production option) — ADVICE r2: label the winner
+            detail["griffin_lim_best_config"] = best_name
         except Exception as e:  # pragma: no cover
             detail["griffin_lim_error"] = f"{type(e).__name__}: {e}"[:200]
     else:

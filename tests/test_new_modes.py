@@ -389,8 +389,30 @@ def test_mels_to_wavs_matches_per_utterance():
         synth.cfg.audio, signal_normalization=False))
     raw = rng.uniform(-100, -20, (10, 20)).astype(np.float32)
     w_raw = synth.mels_to_wavs([raw, raw[:6]])
+    # the pad must denormalize to SILENCE. The trimmed waveform is nearly
+    # immune to the pad value (pad windows lie past hop*(F-1)), so assert the
+    # real invariant on the pad value itself: a padded frame's linear
+    # magnitude must be negligible vs a content frame's (with the old
+    # -max_abs_value bug in the raw-dB domain the padded region inverted to
+    # RMS ~41 vs ~0.002 for proper silence)
+    from tacotron2_tpu.ops import stft as dstft
+    from tacotron2_tpu.synth.tacotron_synth import gl_pad_value
+    a = synth.cfg.audio
+    pad_frame = np.full((1, 1, a.num_mels), gl_pad_value(a), np.float32)
+    content_frame = raw[None, :1]
+    def mag(x):
+        m = x[0, 0]
+        if a.signal_normalization:
+            m = np.asarray(dstft.denormalize_db(np.asarray(m), a))
+        return float(np.max(10.0 ** ((m + a.ref_level_db) / 20.0)))
+    assert mag(pad_frame) < 1e-3 * mag(content_frame), \
+        (mag(pad_frame), mag(content_frame))
+    # and a loose wav-level sanity: the tail near the pad boundary is not
+    # blown up relative to the body
     tail = w_raw[1][-synth.cfg.audio.effective_hop:]
-    assert np.abs(tail).max() < np.abs(w_raw[1]).max() * 10  # no pad blow-up
+    body = w_raw[1][: -synth.cfg.audio.effective_hop]
+    rms = lambda x: float(np.sqrt(np.mean(np.square(x))))
+    assert rms(tail) < rms(body) * 1.5, (rms(tail), rms(body))
     assert [len(w) for w in w_raw] == [128 * 9, 128 * 5]
 
 
