@@ -275,6 +275,12 @@ class WaveNetConfig:
     # TPU-native analog of the reference's swap_memory offload
     # (hparams.py:326).
     remat_conv_stack: bool = False
+    # run the training-time gated residual stack through the fused Pallas
+    # fwd+bwd kernels (ops/wavenet_train_kernel.py): whole-stack streaming
+    # with VMEM-resident weights, in-kernel dropout PRNG, halo-carried
+    # dilated convs. Falls back to the XLA path off-TPU, under an active
+    # mesh, at init, or for unsupported configs (gin, kernel_size != 3).
+    use_fused_train_stack: bool = False
     # mixed-precision training: compute the residual stack in bfloat16
     # (params and the distribution head stay float32). The stack is
     # HBM-bandwidth-bound at training crop lengths; halving activation

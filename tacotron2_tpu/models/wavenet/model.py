@@ -95,6 +95,34 @@ class WaveNet(nn.Module):
             return self.embed_speakers(g.reshape(-1))
         return g
 
+    def _use_fused_stack(self, train: bool, c, g) -> bool:
+        """Gate for the fused Pallas train-stack kernels
+        (ops/wavenet_train_kernel.py): TPU backend, training, local cond
+        only, no active mesh (the pjit partitioner cannot split a custom
+        call; mesh runs keep the XLA path), not during init."""
+        from ...ops.wavenet_train_kernel import stack_supported
+        wn = self.config.wavenet
+        if not (train and wn.use_fused_train_stack and c is not None
+                and g is None and not self.is_initializing()
+                and stack_supported(self.config)
+                and jax.default_backend() == "tpu"):
+            return False
+        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        return mesh.empty or mesh.size == 1
+
+    def _fused_stack(self, x, c):
+        """Run the gated stack through the fused fwd+bwd kernels; returns
+        the f32 skip sum (same contract as the XLA loop)."""
+        from ...ops.wavenet_train_kernel import (extract_stack_params,
+                                                fused_stack_apply)
+        layer_params = [layer.variables["params"]
+                        for layer in self.residual_layers]
+        sp = extract_stack_params(layer_params, self.config)
+        seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return fused_stack_apply(self.config, sp, x.astype(jnp.float32),
+                                 c.astype(jnp.float32), seed)
+
     def body(self, x, c, g_vec, *, train: bool):
         """Conv stack [B, T, in] → logits [B, T, out_channels] (wavenet.py:650-721)."""
         wn = self.config.wavenet
@@ -110,20 +138,23 @@ class WaveNet(nn.Module):
                 g = g.astype(self.compute_dtype)
         x = self.first_conv(x)
 
-        def run_block(conv, x, c, g):
-            return conv(x, c=c, g=g, train=train)
+        if self._use_fused_stack(train, c, g):
+            skips = self._fused_stack(x, c)
+        else:
+            def run_block(conv, x, c, g):
+                return conv(x, c=c, g=g, train=train)
 
-        if train and wn.remat_conv_stack:
-            run_block = nn.remat(run_block, prevent_cse=False)
-        skips = None
-        for conv in self.residual_layers:
-            x, h = run_block(conv, x, c, g)
-            if skips is None:
-                skips = h
-            else:
-                skips = skips + h
-                if wn.legacy:
-                    skips = skips * jnp.asarray(np.sqrt(0.5), h.dtype)
+            if train and wn.remat_conv_stack:
+                run_block = nn.remat(run_block, prevent_cse=False)
+            skips = None
+            for conv in self.residual_layers:
+                x, h = run_block(conv, x, c, g)
+                if skips is None:
+                    skips = h
+                else:
+                    skips = skips + h
+                    if wn.legacy:
+                        skips = skips * jnp.asarray(np.sqrt(0.5), h.dtype)
         # distribution head in f32 (log-scale numerics)
         x = nn.relu(skips.astype(jnp.float32))
         x = nn.relu(self.final_conv1(x))
