@@ -199,14 +199,15 @@ void taco_inv_mulaw(const float* y, float* x, int64_t n, float mu) {
   }
 }
 
-// mu-law quantize to [0, mu] ints (util.py:48-62)
+// mu-law quantize to [0, mu] ints (util.py:48-62). Truncation (not
+// rounding) matches the reference _asint = .astype(int) semantics.
 void taco_mulaw_quantize(const float* x, int32_t* y, int64_t n, float mu) {
   const float k = 1.0f / std::log1p(mu);
   for (int64_t i = 0; i < n; i++) {
     float v = x[i];
     float m = std::log1p(mu * std::fabs(v)) * k;
     m = v < 0 ? -m : m;
-    y[i] = (int32_t)((m + 1.0f) / 2.0f * mu + 0.5f);
+    y[i] = (int32_t)((m + 1.0f) / 2.0f * mu);
   }
 }
 

@@ -86,13 +86,18 @@ def main(argv=None):
                           "max_dgrad": gmax, "ok": dl < 1e-4 and gmax < 1e-2}),
               flush=True)
 
-        # dropout-seed consistency (drop=0.05): directional derivative vs
-        # <grad, v> under a fixed rng
+        # dropout-seed consistency: directional derivative vs <grad, v>
+        # under a fixed rng, at dropout=0.5 — if the backward kernel
+        # regenerated DIFFERENT masks than forward, half the activations'
+        # grad paths would be wrong (~50% error); finite-difference
+        # curvature noise stays ~5%. Threshold 20% separates them cleanly.
         cfg2 = cfg1.replace(wavenet=dataclasses.replace(
-            cfg1.wavenet, dropout=0.05))
+            cfg1.wavenet, dropout=0.5))
         params2, loss_d = make_loss(cfg2)
         vg = jax.jit(jax.value_and_grad(loss_d))
-        _, g = vg(params2, key)
+        l_a, g = vg(params2, key)
+        l_b, _ = vg(params2, key)
+        det_ok = float(l_a) == float(l_b)  # same rng -> bitwise same loss
         vdir = jax.tree_util.tree_map(jnp.ones_like, params2)
         gdot = sum(float(jnp.sum(a * b))
                    for a, b in zip(jax.tree_util.tree_leaves(g),
@@ -106,7 +111,8 @@ def main(argv=None):
         rel = abs(fd - gdot) / max(abs(fd), 1e-6)
         print(json.dumps({"check": "dropout_directional", "fd": fd,
                           "grad_dot": gdot, "rel_err": rel,
-                          "ok": rel < 5e-2}), flush=True)
+                          "deterministic": det_ok,
+                          "ok": bool(rel < 0.2 and det_ok)}), flush=True)
 
     if not args.skip_perf:
         base = Config()

@@ -212,6 +212,89 @@ def griffin_lim_librosa_reference(S: np.ndarray, angles0: np.ndarray,
     return y
 
 
+# --------------------------------------- preprocessing-chain oracle (r3)
+# Reproduces the reference's FULL _process_utterance recipe
+# (datasets/preprocessor.py:78-199) independently of
+# tacotron2_tpu/data/{audio,preprocess}.py: librosa.effects.trim from its
+# published formula (loop implementation), scipy.signal.lfilter preemphasis,
+# the exact rescale ordering, librosa_pad_lr (audio.py:210-219), and the
+# final hop clipping + train.txt row values.
+
+
+def librosa_trim_oracle(y, top_db, frame_length, hop_length):
+    """librosa.effects.trim from the formula: centered zero-padded frames,
+    power dB relative to the peak frame, keep [first, last] non-silent."""
+    from scipy.signal import lfilter  # noqa: F401 (documents independence)
+    ypad = np.pad(y.astype(np.float64), (frame_length // 2, frame_length // 2))
+    n = 1 + (len(ypad) - frame_length) // hop_length
+    power = np.array([np.mean(ypad[i * hop_length:i * hop_length
+                                   + frame_length] ** 2) for i in range(n)])
+    ref = power.max()
+    db = 10.0 * np.log10(np.maximum(power, 1e-20) / max(ref, 1e-20))
+    nz = np.flatnonzero(db > -top_db)
+    if len(nz) == 0:
+        return y[:0]
+    start = int(nz[0]) * hop_length
+    end = min(len(y), (int(nz[-1]) + 1) * hop_length)
+    return y[start:end]
+
+
+def mulaw_ref(x, mu=255):
+    """Reference fork's mulaw (wavenet_vocoder/util.py:30-49). NOTE: the
+    fork HARDCODES mu=255 no matter what quantize_channels is passed
+    (util.py:49) — parity is only well-defined at quantize_channels=256."""
+    return np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
+
+
+def mulaw_quantize_ref(x, mu=255):
+    return ((mulaw_ref(x, mu) + 1) / 2 * mu).astype(np.int64)
+
+
+def preprocess_chain_oracle(y, c, input_type="raw", trim=True):
+    """The reference _process_utterance dataflow, start to train.txt row."""
+    aud = y.astype(np.float64)
+    if trim:
+        aud = librosa_trim_oracle(aud, c["trim_top_db"], c["trim_fft"],
+                                  c["trim_hop"])
+    trimmed = aud.copy()
+    from scipy.signal import lfilter
+    preem = lfilter([1.0, -c["preemphasis"]], [1.0], aud)
+    # rescale: aud first, then preem, each by its OWN max
+    aud = aud / np.abs(aud).max() * c["rescaling_max"]
+    preem = preem / np.abs(preem).max() * c["rescaling_max"]
+
+    res = {}
+    if input_type == "mulaw-quantize":
+        out = mulaw_quantize_ref(aud)
+        nz = np.flatnonzero(np.abs(out - 127) > c["silence_threshold"])
+        start, end = (int(nz[0]), int(nz[-1])) if len(nz) else (0, len(out))
+        aud, preem, out = aud[start:end], preem[start:end], out[start:end]
+        constant = int(mulaw_quantize_ref(np.zeros(1))[0])
+    else:
+        out, constant = aud, 0.0
+
+    mag = np.abs(stft_librosa_via_tf(preem.astype(np.float32), c["n_fft"],
+                                     c["hop"], c["win"]))
+    mp = mag.astype(np.float64) ** c["magnitude_power"]
+    mel_fb = slaney_mel_filterbank(c["sr"], c["n_fft"], c["n_mels"],
+                                   c["fmin"], c["fmax"])
+    mel_db = amp_to_db(mp @ mel_fb.astype(np.float64).T,
+                       c["min_level_db"]) - c["ref_level_db"]
+    mel = normalize(mel_db, c["min_level_db"], c["max_abs"]).astype(np.float32)
+    mel_frames = mel.shape[0]
+
+    # librosa_pad_lr (audio.py:210-219), pad_sides=1: right pad to the next
+    # whole hop, then clip to mel_frames*hop
+    pad = (len(aud) // c["hop"] + 1) * c["hop"] - len(aud)
+    out = np.pad(out, (0, pad), mode="constant", constant_values=constant)
+    assert len(out) >= mel_frames * c["hop"]
+    out = out[: mel_frames * c["hop"]]
+    res.update(trimmed=trimmed.astype(np.float32),
+               aud=aud.astype(np.float32), preem=preem.astype(np.float32),
+               mel=mel, out=out, time_steps=len(out), mel_frames=mel_frames)
+    return res
+
+
 # ------------------------------------------------------------------- main
 
 
@@ -281,6 +364,23 @@ def main():
             wav_np_gl = griffin_lim_librosa_reference(
                 S_pow, angles0, c["n_fft"], c["hop"], c["win"], iters)
             out[f"{name}/gl_np_iters{iters}"] = wav_np_gl.astype(np.float32)
+
+    # ---- full preprocessing-chain fixtures (default preset) -------------
+    c = dict(CONFIGS["default"])
+    c.update(trim_top_db=40.0, trim_fft=2048, trim_hop=512,
+             preemphasis=0.97, rescaling_max=0.999, silence_threshold=2)
+    sr = c["sr"]
+    sig = make_signal(sr, 1.2, seed=777)
+    y = np.concatenate([np.zeros(int(0.25 * sr), np.float32), 0.7 * sig,
+                        np.zeros(int(0.35 * sr), np.float32)])
+    # int16 round trip: the float array the loader produces from the wav file
+    yq = np.round(np.clip(y, -1, 1) * 32767).astype(np.int16)
+    out["pre/wav_int16"] = yq
+    yf = yq.astype(np.float32) / 32768.0
+    for it, tag in (("raw", "raw"), ("mulaw-quantize", "mulawq")):
+        res = preprocess_chain_oracle(yf, c, input_type=it)
+        for k, v in res.items():
+            out[f"pre/{tag}/{k}"] = np.asarray(v)
 
     os.makedirs(os.path.dirname(FIXTURE_PATH), exist_ok=True)
     np.savez_compressed(FIXTURE_PATH, **out)

@@ -29,10 +29,15 @@ def inv_mulaw(y, mu: int = 255):
 
 
 def mulaw_quantize(x, mu: int = 255):
-    """[-1, 1] → int in [0, μ]."""
+    """[-1, 1] → int in [0, μ].
+
+    TRUNCATES like the reference (_asint = .astype(int),
+    wavenet_vocoder/util.py:98-103) — not round-to-nearest; silence (x=0)
+    quantizes to 127, the center the silence trim assumes
+    (audio.start_and_end_indices)."""
     xp = _xp(x)
     y = mulaw(x, mu)
-    return ((y + 1.0) / 2.0 * mu + 0.5).astype(xp.int32)
+    return ((y + 1.0) / 2.0 * mu).astype(xp.int32)
 
 
 def inv_mulaw_quantize(y, mu: int = 255):

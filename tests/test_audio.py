@@ -132,7 +132,11 @@ def test_mulaw_roundtrip():
     q = mulaw.mulaw_quantize(x)
     assert q.min() >= 0 and q.max() <= 255
     xr = mulaw.inv_mulaw_quantize(q)
-    assert np.abs(xr - x).max() < 0.02
+    # quantize TRUNCATES (reference _asint semantics, util.py:98-103): up to
+    # a full LSB of companded-domain error, ~0.045 after expansion at |x|~1
+    assert np.abs(xr - x).max() < 0.05
+    # silence centers on 127, the value start_and_end_indices assumes
+    assert int(mulaw.mulaw_quantize(np.zeros(1))[0]) == 127
 
 
 def test_trim_silence():
