@@ -184,23 +184,39 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
         res["exact_f32_audio_s_per_s"] = B_exact * T_exact / exact_dt / sr
         res["batch_exact"] = B_exact
 
-    # XLA scan baseline: its 20-layer scan body takes ~5 min to XLA-compile
-    # on this backend, so the live comparison is gated behind BENCH_FULL=1;
-    # the default uses the measured per-step cost from that run (68.5
-    # us/step at B=4..8 on TPU v5e, see scripts/bench_vocoder.py).
-    if os.environ.get("BENCH_FULL") == "1":
-        T_scan = min(T, 2048)
-        c_scan = make_cond(jax.random.PRNGKey(43), B)[:, :T_scan]
-        scan_fn = jax.jit(lambda p, cu, k: jnp.sum(
-            incremental_sample(p, cfg, cu, k)[0][:, -1]))
-        float(scan_fn(variables["params"], c_scan, jax.random.PRNGKey(1)))
-        t0 = time.perf_counter()
-        float(scan_fn(variables["params"], c_scan, jax.random.PRNGKey(2)))
-        scan_dt = (time.perf_counter() - t0) * (T / T_scan)
-    else:
-        scan_dt = 68.5e-6 * T
+    # XLA scan baseline: the frozen constant (68.5 us/step measured on this
+    # chip, scripts/bench_vocoder.py) seeds vs_baseline; bench_scan_live()
+    # re-measures it live at the END of the run (its 20-layer scan body
+    # takes ~5 min to compile COLD on this backend — warm cache runs in
+    # seconds — so it must not run before the headline sections).
+    scan_dt = 68.5e-6 * T
     res["xla_scan_audio_s_per_s"] = B * T / scan_dt / sr
+    res["_scan_ctx"] = (variables["params"], make_cond, B, T, sr)
     return res
+
+
+def bench_scan_live(voc, cfg):
+    """Live re-measure of the pure-XLA lax.scan sampler (VERDICT r2 item 5:
+    vs_baseline should derive from a measurement taken this run). Updates
+    the vocoder section in place; on any failure the frozen constant stands
+    and detail says so."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.models.wavenet.sampler import incremental_sample
+
+    params, make_cond, B, T, sr = voc.pop("_scan_ctx")
+    T_scan = min(T, 2048)
+    c_scan = make_cond(jax.random.PRNGKey(43), B)[:, :T_scan]
+    scan_fn = jax.jit(lambda p, cu, k: jnp.sum(
+        incremental_sample(p, cfg, cu, k)[0][:, -1]))
+    float(scan_fn(params, c_scan, jax.random.PRNGKey(1)))   # compile+warm
+    t0 = time.perf_counter()
+    float(scan_fn(params, c_scan, jax.random.PRNGKey(2)))
+    scan_dt = (time.perf_counter() - t0) * (T / T_scan)
+    voc["xla_scan_audio_s_per_s"] = B * T / scan_dt / sr
+    voc["scan_us_per_step"] = scan_dt / T * 1e6
+    return voc["xla_scan_audio_s_per_s"]
 
 
 def bench_vocoder_mol(B=256, chunk=512, hbm_delay_threshold=32, window=8):
@@ -348,6 +364,8 @@ def bench_training(cfg):
 
     from scripts.bench_train import (bench_tacotron_train,
                                      bench_wavenet_train)
+    from tacotron2_tpu.utils import roofline as R
+    dk = _device_kind()
     # Tacotron: fused Pallas teacher-forced decoder (fwd + custom_vjp
     # BPTT bwd, ops/tacotron_train_kernel.py) — the measured-best config
     out = {}
@@ -359,16 +377,34 @@ def bench_training(cfg):
         tacotron_train_audio_s_per_s=round(tt["audio_s_per_s"], 1),
         tacotron_train_ms_per_step=round(tt["ms_per_step"], 1),
         tacotron_train_decoder="fused Pallas fwd+bwd (B=96, bf16 conv stacks)")
+    _state["detail"].setdefault("mfu", {})["tacotron_train"] = R.mfu_entry(
+        R.tacotron_train_step(tfu, 96, 400, 50), tt["ms_per_step"] / 1e3, dk)
     if _remaining() > 60:
+        # WaveNet: fused Pallas train-stack kernels (whole-stack streaming
+        # fwd + custom_vjp bwd, ops/wavenet_train_kernel.py) — 2.7x the XLA
+        # path (scripts/check_train_stack.py)
         wbf = cfg.replace(wavenet=dataclasses.replace(
-            cfg.wavenet, compute_dtype="bfloat16"))
+            cfg.wavenet, compute_dtype="bfloat16",
+            use_fused_train_stack=True))
         wt = bench_wavenet_train(wbf, 16, 10)
         out.update(
             wavenet_train_audio_s_per_s=round(wt["audio_s_per_s"], 1),
-            wavenet_train_ms_per_step=round(wt["ms_per_step"], 1))
+            wavenet_train_ms_per_step=round(wt["ms_per_step"], 1),
+            wavenet_train_stack="fused Pallas fwd+bwd (B=16, bf16)")
+        _state["detail"]["mfu"]["wavenet_train"] = R.mfu_entry(
+            R.wavenet_train_step(wbf, 16, wt["crop_samples"]),
+            wt["ms_per_step"] / 1e3, dk)
     else:
         _state["detail"]["skipped"].append("wavenet_train")
     return out
+
+
+def _device_kind():
+    import jax
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover
+        return "TPU v5 lite"
 
 
 def _timed(name, fn):
@@ -404,7 +440,12 @@ def main():
             realtime_factor_per_stream=round(
                 voc["realtime_factor_per_stream"], 2),
             batch=voc["batch"],
-            xla_scan_audio_s_per_s=round(voc["xla_scan_audio_s_per_s"], 2))
+            xla_scan_audio_s_per_s=round(voc["xla_scan_audio_s_per_s"], 2),
+            xla_scan_source="frozen constant (68.5 us/step)")
+        from tacotron2_tpu.utils import roofline as R
+        detail.setdefault("mfu", {})["wavenet_sampler"] = R.mfu_entry(
+            R.wavenet_sampler_step(cfg, voc["batch"]),
+            voc["fused_us_per_step"] / 1e6, _device_kind())
         if "exact_f32_audio_s_per_s" in voc:
             detail["exact_f32_audio_s_per_s"] = round(
                 voc["exact_f32_audio_s_per_s"], 2)
@@ -424,6 +465,10 @@ def main():
                 taco["mel_audio_s_per_s"], 1)
             detail["tacotron_decode_us_per_step"] = round(
                 taco["us_per_step"], 2)
+            from tacotron2_tpu.utils import roofline as R
+            detail.setdefault("mfu", {})["tacotron_decode"] = R.mfu_entry(
+                R.tacotron_decode_step(cfg, taco["batch"], 256),
+                taco["us_per_step"] / 1e6, _device_kind())
         except Exception as e:  # pragma: no cover
             detail["tacotron_decode_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
@@ -446,6 +491,9 @@ def main():
             # which dtype produced the headline (f32 = reference-parity math,
             # bf16 = production option) — ADVICE r2: label the winner
             detail["griffin_lim_best_config"] = best_name
+            from tacotron2_tpu.utils import roofline as R
+            detail.setdefault("mfu", {})["griffin_lim"] = R.mfu_entry(
+                R.griffin_lim_audio_second(cfg), 1.0 / best, _device_kind())
         except Exception as e:  # pragma: no cover
             detail["griffin_lim_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
@@ -483,6 +531,23 @@ def main():
             detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
         detail["skipped"].append("training")
+
+    # --- live XLA-scan baseline (last: cold-compile risk) ----------------
+    # vs_baseline should come from a measurement taken THIS run; the frozen
+    # constant only stands if the budget runs out or the live run fails.
+    if ("vocoder" in sections and "_scan_ctx" in sections["vocoder"]
+            and _remaining() > 60
+            and os.environ.get("BENCH_SCAN_LIVE", "1") == "1"):
+        try:
+            live = _timed('scan_live', lambda: bench_scan_live(
+                sections["vocoder"], cfg))
+            detail["xla_scan_audio_s_per_s"] = round(live, 2)
+            detail["xla_scan_source"] = "measured this run"
+            detail["scan_us_per_step"] = round(
+                sections["vocoder"]["scan_us_per_step"], 2)
+        except Exception as e:  # pragma: no cover
+            detail["scan_live_error"] = f"{type(e).__name__}: {e}"[:160]
+    sections.get("vocoder", {}).pop("_scan_ctx", None)
 
     detail["elapsed_s"] = round(time.time() - _T0, 1)
     if not detail["skipped"]:
