@@ -315,6 +315,97 @@ def bench_tacotron_decode(cfg, B=48, T_in=256, steps=500, M=1024):
                 us_per_step=dt / steps * 1e6, batch=B)
 
 
+def bench_decode_variants(cfg, B=32, T_in=400, K=64, M=1024, n_blocks=4):
+    """The two decode paths beyond the monolithic kernel's envelope
+    (VERDICT r2 item 4): long-input blocked fused decode (T_in > 256) and
+    the emt_attn variant's scan-block path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.models.tacotron.decoder import Decoder
+    from tacotron2_tpu.ops.tacotron_decoder_kernel import (
+        build_decoder_block_kernel, extract_decoder_params,
+        init_decoder_state)
+
+    r = cfg.tacotron.outputs_per_step
+    hop, sr = cfg.audio.effective_hop, cfg.audio.sample_rate
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def sync(x):
+        return float(jnp.sum(x[-1, :, 0]))
+
+    # --- long-input blocked fused decode ---------------------------------
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    variables = dec.init(rngs, 2, 1, jnp.zeros((2, 8, 128)),
+                         jnp.zeros((2, 8, M)), None,
+                         method=Decoder.autoregressive)
+    dp = extract_decoder_params({"decoder": variables["params"]}, cfg)
+    memory = jnp.asarray(rng.normal(size=(B, T_in, M)) * 0.1, jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(B, T_in, 128)) * 0.1, jnp.float32)
+    mask = jnp.ones((B, T_in), bool)
+    run = build_decoder_block_kernel(cfg, B, T_in, K, M,
+                                     weight_dtype=jnp.bfloat16)
+    st = init_decoder_state(cfg, B, T_in, M)
+    f, _, _, st = run(dp, keys, memory, mask, st, 7)
+    sync(f)
+    st = init_decoder_state(cfg, B, T_in, M)
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        f, _, _, st = run(dp, keys, memory, mask, st, 8 + i)
+    sync(f)
+    dt = (time.perf_counter() - t0) / (n_blocks * K)
+    out["long_input_fused_block"] = dict(
+        t_in=T_in, batch=B, us_per_step=round(dt * 1e6, 1),
+        mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
+
+    # --- emt_attn scan-block decode --------------------------------------
+    cfg_e = cfg.replace(gst=dataclasses.replace(
+        cfg.gst, emt_attn=True, emt_attn_type="simple"))
+    dec_e = Decoder(config=cfg_e)
+    emt_mem = jnp.asarray(rng.normal(size=(B, 16, 2 * cfg.gst.reference_depth))
+                          * 0.1, jnp.float32)
+    ref_spk = jnp.asarray(rng.normal(size=(B, cfg.gst.reference_depth))
+                          * 0.1, jnp.float32)
+    Te = 128
+    mem_e, keys_e = memory[:, :Te], keys[:, :Te]
+    mask_e = mask[:, :Te]
+    var_e = dec_e.init(rngs, B, 1, keys_e, mem_e, mask_e,
+                       emt_memory=emt_mem, ref_spk=ref_spk,
+                       method=Decoder.autoregressive)
+
+    @jax.jit
+    def block(params, carry, seed):
+        ar = dict(dropout=jax.random.fold_in(seed, 0),
+                  zoneout=jax.random.fold_in(seed, 1))
+        fr, stp, al, _, new = dec_e.apply(
+            {"params": params}, B, K, keys_e, mem_e, mask_e,
+            emt_memory=emt_mem, ref_spk=ref_spk, initial_state=carry,
+            return_state=True, method=Decoder.autoregressive, rngs=ar)
+        return fr, new
+
+    bound = dec_e.bind({"params": var_e["params"]})
+    carry0 = bound._initial_carry(B, mem_e,
+                                  cfg.tacotron.compute_dtype == "bfloat16")
+    f, carry = block(var_e["params"], carry0, jax.random.PRNGKey(5))
+    float(jnp.sum(f[:, -1, 0]))
+    t0 = time.perf_counter()
+    carry = carry0
+    for i in range(n_blocks):
+        f, carry = block(var_e["params"], carry, jax.random.PRNGKey(6 + i))
+    float(jnp.sum(f[:, -1, 0]))
+    dt = (time.perf_counter() - t0) / (n_blocks * K)
+    out["emt_attn_scan_block"] = dict(
+        t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
+        mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
+    return out
+
+
 def bench_griffin_lim(cfg, batch=32, dur=4.0):
     import jax
     import jax.numpy as jnp
@@ -522,6 +613,16 @@ def main():
             1.0 / (1.0 / sections["griffin_lim"]
                    + 1.0 / sections["tacotron_decode"]["mel_audio_s_per_s"]),
             1)
+
+    # --- decode variants: long-input fused block + emt_attn --------------
+    if _remaining() > 150:
+        try:
+            dv = _timed('decode_variants', lambda: bench_decode_variants(cfg))
+            detail["decode_variants"] = dv
+        except Exception as e:  # pragma: no cover
+            detail["decode_variants_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("decode_variants")
 
     # --- training throughput (both models, bf16 configs) -----------------
     if _remaining() > 90:
