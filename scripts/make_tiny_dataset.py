@@ -47,6 +47,53 @@ def synth_wav(rng, sr, spk: int, emt: int, dur: float) -> np.ndarray:
     return (0.7 * wav / np.abs(wav).max()).astype(np.float32)
 
 
+ALIGN_CHARS = "abcdefghij"
+
+
+def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11):
+    """Corpus where the TEXT determines the AUDIO: each character renders as
+    a distinct tone segment (char i -> 220*2^(i/6) Hz), so a correctly
+    trained attention must form a monotonic text-to-frame diagonal. Wavs go
+    through the REAL preprocessing path (preemphasis/rescale/mel/normalize;
+    trim disabled so the char->frame map stays exact). Returns
+    (rows, audio_cfg) — rows are real train.txt tuples."""
+    import dataclasses
+
+    from scipy.io import wavfile
+
+    from tacotron2_tpu.data.preprocess import UtteranceSpec, process_utterance
+
+    cfg = get_config("default")
+    acfg = dataclasses.replace(cfg.audio, trim_silence=False)
+    sr = acfg.sample_rate
+    rng = np.random.default_rng(seed)
+    wav_dir = os.path.join(out_dir, "wavs")
+    mel_dir = os.path.join(out_dir, "mels")
+    os.makedirs(wav_dir, exist_ok=True)
+    os.makedirs(mel_dir, exist_ok=True)
+
+    rows = []
+    for i in range(n):
+        idx = rng.integers(0, len(ALIGN_CHARS), chars)
+        text = "".join(ALIGN_CHARS[j] for j in idx)
+        segs = []
+        t = np.arange(int(sr * char_dur)) / sr
+        for j in idx:
+            f0 = 220.0 * 2.0 ** (j / 6.0)
+            env = np.minimum(1.0, np.minimum(t / 0.01, (char_dur - t) / 0.01))
+            segs.append((0.6 * env * np.sin(2 * np.pi * f0 * t)
+                         ).astype(np.float32))
+        wav = np.concatenate(segs)
+        path = os.path.join(wav_dir, f"a{i:03d}.wav")
+        wavfile.write(path, sr, np.round(wav * 32767).astype(np.int16))
+        spec = UtteranceSpec(audio_path=path, text=text, emt_label=0,
+                             spk_label=0, sex="f", dataset="emt4", index=i)
+        row = process_utterance(spec, acfg, mel_dir)
+        assert row is not None
+        rows.append(row)
+    return rows, acfg, mel_dir
+
+
 def main(out_dir="data/tiny", n=32, dataset="emt4", sr=None, seed=1234):
     cfg = get_config("default")
     sr = sr or cfg.audio.sample_rate

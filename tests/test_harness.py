@@ -377,3 +377,37 @@ def test_cli_pipeline(tmp_path):
     assert (eval_dir / "map.txt").exists()
     wavs = list((eval_dir / "wavs").glob("*.wav"))
     assert len(wavs) == 1 and wavs[0].stat().st_size > 1000
+
+
+def test_load_pretrained_disc_roundtrip(tmp_path):
+    """save (disc_train's checkpoint format) -> load_pretrained_disc returns
+    the ReferenceEncoder subtree allclose — guards the argless
+    mgr.restore() path, which orbax only loosely supports (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.disc.train import load_pretrained_disc
+    from tacotron2_tpu.train.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(0)
+    enc_tree = {
+        "conv_0": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 1, 4)),
+                                         jnp.float32),
+                   "bias": jnp.zeros((4,), jnp.float32)},
+        "gru": {"kernel": jnp.asarray(rng.normal(size=(8, 12)), jnp.float32)},
+    }
+    params = {"pretrained_ref_enc": enc_tree,
+              "head": {"kernel": jnp.ones((4, 2), jnp.float32)}}
+    bs = {"pretrained_ref_enc": {"conv_0": {"mean": jnp.zeros((4,))}}}
+    ckpt = str(tmp_path / "disc_ckpt")
+    mgr = CheckpointManager(ckpt)
+    mgr.save(3, {"params": params, "batch_stats": bs})
+    mgr.close()
+
+    loaded = load_pretrained_disc(ckpt)
+    flat_a = jax.tree_util.tree_leaves_with_path(loaded["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(enc_tree)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert "conv_0" in loaded["batch_stats"]
