@@ -357,17 +357,30 @@ class TacotronSynthesizer:
         return host_audio.inv_preemphasis(wav, self.cfg.audio.preemphasis,
                                           self.cfg.audio.preemphasize)
 
-    def mels_to_wavs(self, mels: Sequence[np.ndarray]) -> list:
+    def mels_to_wavs(self, mels: Sequence[np.ndarray],
+                     max_batch: int = 32) -> list:
         """Batched Griffin-Lim inversion of variable-length mels.
 
         Pads to a common frame count (bucketed to multiples of 64 so
-        repeated calls reuse one compilation) and inverts the whole batch in
-        one device call (the big-batch shape is what makes the XLA G-L path
-        hit its measured-best MXU throughput), then trims each waveform to
-        its utterance's own hop·(frames−1) samples — the same length the
-        per-utterance mel_to_wav path produces."""
+        repeated calls reuse one compilation) and inverts up to `max_batch`
+        mels per device call (the big-batch shape is what makes the XLA G-L
+        path hit its measured-best MXU throughput; chunking bounds device
+        memory for large sentence lists), then trims each waveform to its
+        utterance's own hop·(frames−1) samples — the same length the
+        per-utterance mel_to_wav path produces.
+
+        NOTE (documented divergence): padding frames participate in the G-L
+        phase iterations, so batched waveforms differ slightly from the
+        per-utterance mel_to_wav path near the tail (corr > 0.98; the pad
+        denormalizes to silence, tests/test_new_modes.py)."""
         if not len(mels):
             return []
+        if len(mels) > max_batch:
+            out = []
+            for i in range(0, len(mels), max_batch):
+                out.extend(self.mels_to_wavs(mels[i:i + max_batch],
+                                             max_batch))
+            return out
         a = self.cfg.audio
         pad_val = gl_pad_value(a)
         F = max(m.shape[0] for m in mels)
@@ -413,7 +426,10 @@ def run_eval(synth: TacotronSynthesizer, sentences: Sequence[str],
              ref_mels_emt, ref_mels_spk, output_dir: str,
              save_wavs: bool = True) -> str:
     """Sentences → mels + map.txt (+wavs/plots); reference run_eval
-    (tacotron/synthesize.py:53-83)."""
+    (tacotron/synthesize.py:53-83).
+
+    Wavs come from the batched chunked G-L (mels_to_wavs): not
+    sample-identical to per-utterance inversion — see its docstring."""
     # absolute so map rows resolve regardless of the consumer's cwd
     eval_dir = os.path.abspath(os.path.join(output_dir, "eval"))
     os.makedirs(os.path.join(eval_dir, "mels"), exist_ok=True)
