@@ -93,10 +93,13 @@ def masked_mel_mae(mel_out: np.ndarray, batch: Dict) -> float:
 
 
 def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
-            eval_every: int = 50) -> Tuple[Dict, list]:
+            eval_every: int = 50, stop_diag: float = None,
+            stop_mae: float = None) -> Tuple[Dict, list]:
     """Train on one batch for `steps`; returns (final_report, history).
 
-    history entries: (step, loss, mel_mae, mean_diagonality)."""
+    history entries: (step, loss, mel_mae, mean_diagonality). With
+    stop_diag/stop_mae set, stops early once BOTH bars are met at an eval
+    point (lets tests exit as soon as alignment has formed)."""
     from ..train.tacotron_step import TacotronTrainer
 
     trainer = TacotronTrainer(cfg)
@@ -122,6 +125,10 @@ def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
             mae, diag, _ = evaluate()
             history.append((i + 1, float(metrics["loss"]), mae,
                             float(np.mean(diag))))
+            if (stop_diag is not None and stop_mae is not None
+                    and float(np.mean(diag)) > stop_diag
+                    and mae < stop_mae):
+                break
     mae, diag, out = evaluate()
     report = dict(final_loss=float(metrics["loss"]), final_mel_mae=mae,
                   diagonality=diag, mean_diagonality=float(np.mean(diag)),
