@@ -95,24 +95,40 @@ class WaveNet(nn.Module):
             return self.embed_speakers(g.reshape(-1))
         return g
 
+    def _data_axis(self):
+        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        if mesh.empty:
+            return None, 1
+        n = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1)
+        return mesh, n
+
     def _use_fused_stack(self, train: bool, c, g) -> bool:
         """Gate for the fused Pallas train-stack kernels
-        (ops/wavenet_train_kernel.py): TPU backend, training, local cond
-        only, no active mesh (the pjit partitioner cannot split a custom
-        call; mesh runs keep the XLA path), not during init."""
+        (ops/wavenet_train_kernel.py): training, local cond only, not during
+        init. Single device needs the TPU backend; under an active mesh the
+        kernels run per-shard via shard_map over the 'data' axis (interpret
+        mode on CPU virtual meshes, so tests/dryruns exercise the same
+        branch a real multi-chip TPU takes)."""
         from ...ops.wavenet_train_kernel import stack_supported
         wn = self.config.wavenet
         if not (train and wn.use_fused_train_stack and c is not None
                 and g is None and not self.is_initializing()
-                and stack_supported(self.config)
-                and jax.default_backend() == "tpu"):
+                and stack_supported(self.config)):
             return False
-        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
-        return mesh.empty or mesh.size == 1
+        mesh, ndata = self._data_axis()
+        if mesh is None or mesh.size == 1:
+            return jax.default_backend() == "tpu"
+        return ndata > 1
 
     def _fused_stack(self, x, c):
         """Run the gated stack through the fused fwd+bwd kernels; returns
-        the f32 skip sum (same contract as the XLA loop)."""
+        the f32 skip sum (same contract as the XLA loop).
+
+        Under an active ('data', ...) mesh the kernel runs per-shard via
+        shard_map — batch rows split over 'data', params replicated (the
+        shard_map transpose psums their cotangents = the grad all-reduce),
+        per-shard dropout decorrelated by axis index — mirroring the
+        Tacotron fused train decoder's multi-chip path (decoder.py)."""
         from ...ops.wavenet_train_kernel import (extract_stack_params,
                                                 fused_stack_apply)
         layer_params = [layer.variables["params"]
@@ -120,8 +136,29 @@ class WaveNet(nn.Module):
         sp = extract_stack_params(layer_params, self.config)
         seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        return fused_stack_apply(self.config, sp, x.astype(jnp.float32),
-                                 c.astype(jnp.float32), seed)
+        x32, c32 = x.astype(jnp.float32), c.astype(jnp.float32)
+        mesh, ndata = self._data_axis()
+        if mesh is not None and ndata > 1:
+            if x.shape[0] % ndata != 0:
+                return None  # caller falls back to the XLA loop
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            interpret = jax.default_backend() != "tpu"
+            cfg = self.config
+
+            def body(sp_, x_, c_, seed_):
+                seed_ = seed_ + jax.lax.axis_index("data").astype(jnp.int32)
+                return fused_stack_apply(cfg, sp_, x_, c_, seed_,
+                                         interpret=interpret)
+
+            return shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P(), sp),
+                          P("data", None, None), P("data", None, None), P()),
+                out_specs=P("data", None, None),
+                check_vma=False)(sp, x32, c32, seed)
+        return fused_stack_apply(self.config, sp, x32, c32, seed)
 
     def body(self, x, c, g_vec, *, train: bool):
         """Conv stack [B, T, in] → logits [B, T, out_channels] (wavenet.py:650-721)."""
@@ -138,9 +175,9 @@ class WaveNet(nn.Module):
                 g = g.astype(self.compute_dtype)
         x = self.first_conv(x)
 
-        if self._use_fused_stack(train, c, g):
-            skips = self._fused_stack(x, c)
-        else:
+        skips = (self._fused_stack(x, c)
+                 if self._use_fused_stack(train, c, g) else None)
+        if skips is None:
             def run_block(conv, x, c, g):
                 return conv(x, c=c, g=g, train=train)
 

@@ -145,3 +145,59 @@ def test_fused_stack_grad_parity_weightnorm_nonlegacy():
                     jax.tree_util.tree_leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_stack_sharded_matches_xla_on_mesh():
+    """WaveNet.body with use_fused_train_stack under a 4-device CPU mesh
+    (the shard_map branch a real multi-chip TPU takes: batch split over
+    'data', params replicated, transpose-psum grad all-reduce) matches the
+    XLA stack's loss and grads."""
+    import os
+
+    from jax.sharding import Mesh
+
+    from tacotron2_tpu.models.wavenet.model import (WaveNet,
+                                                    compute_wavenet_loss)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device virtual CPU mesh (conftest)")
+    cfg0 = tiny_cfg()
+    cfg0 = cfg0.replace(wavenet=dataclasses.replace(
+        cfg0.wavenet, upsample_scales=(2, 2), out_channels=2),
+        audio=dataclasses.replace(cfg0.audio,
+                                  num_mels=cfg0.wavenet.cin_channels))
+    cfg1 = cfg0.replace(wavenet=dataclasses.replace(
+        cfg0.wavenet, use_fused_train_stack=True))
+    B, T_mel, hop = 4, 6, 4
+    T = T_mel * hop
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (B, T, 1)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0, 1, (B, T_mel, cfg0.wavenet.cin_channels)),
+                    jnp.float32)
+    y = x[..., 0]
+    lens = jnp.full((B,), T, jnp.int32)
+
+    def make_loss(cfg):
+        model = WaveNet(config=cfg)
+        variables = model.init(dict(params=jax.random.PRNGKey(0),
+                                    dropout=jax.random.PRNGKey(1)),
+                               x, c, train=True)
+
+        def loss(params):
+            out = model.apply({"params": params}, x, c, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(7)})
+            return compute_wavenet_loss(out, y, lens, cfg)["loss"]
+        return variables["params"], loss
+
+    params, loss_xla = make_loss(cfg0)
+    _, loss_fused = make_loss(cfg1)
+    l0, g0 = jax.value_and_grad(loss_xla)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    with mesh:
+        l1, g1 = jax.jit(jax.value_and_grad(loss_fused))(params)
+    assert abs(float(l0) - float(l1)) < 2e-3, (float(l0), float(l1))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-2, atol=3e-3)
