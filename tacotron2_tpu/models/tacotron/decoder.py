@@ -81,7 +81,9 @@ class DecoderCell(nn.Module):
             return 2 * gst.reference_depth
         if gst.emt_attn_type == "multihead":
             return 128
-        return 64  # style_tokens
+        # style_tokens: MultiheadStyleAttention concatenates num_heads FULL
+        # value vectors (value = the 2*reference_depth emt-ref sequence)
+        return gst.num_heads * 2 * gst.reference_depth
 
     def __call__(self, state: DecoderState, frame_input, keys, memory,
                  memory_mask, *, train: bool, synthesis: bool,

@@ -310,6 +310,8 @@ class Tacotron(nn.Module):
 
         labels_oh = None
         if gst.emt_attn and gst.emt_attn_type == "style_tokens":
+            if emt_labels is None:  # synthesis without labels: neutral mix
+                emt_labels = jnp.zeros((inputs.shape[0],), jnp.int32)
             labels_oh = jax.nn.one_hot(emt_labels, gst.n_emt)
 
         ref_spk_feed = refnet_spk if (gst.emt_attn and not self.emt_only) else None

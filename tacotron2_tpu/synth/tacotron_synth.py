@@ -72,18 +72,19 @@ class TacotronSynthesizer:
         return dict(dropout=k1, zoneout=k2, teacher_forcing=k3)
 
     def _synth_fn(self, params, batch_stats, inputs, input_lengths,
-                  ref_mel_emt, ref_mel_spk, mel_targets, rngs, *,
+                  ref_mel_emt, ref_mel_spk, mel_targets, emt_labels, rngs, *,
                   max_steps: int, use_gta: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         if use_gta:
             out = self.model.apply(
                 variables, inputs, input_lengths, mel_targets=mel_targets,
                 ref_mel_emt=ref_mel_emt, ref_mel_spk=ref_mel_spk,
-                gta=True, train=False, rngs=rngs)
+                emt_labels=emt_labels, gta=True, train=False, rngs=rngs)
         else:
             out = self.model.apply(
                 variables, inputs, input_lengths,
                 ref_mel_emt=ref_mel_emt, ref_mel_spk=ref_mel_spk,
+                emt_labels=emt_labels,
                 synthesis=True, max_steps=max_steps, train=False, rngs=rngs)
         return (out.mel_outputs, out.alignments, out.stop_token_prediction)
 
@@ -291,9 +292,16 @@ class TacotronSynthesizer:
     def synthesize(self, texts: Sequence[str], ref_mels_emt: Sequence[np.ndarray],
                    ref_mels_spk: Sequence[np.ndarray],
                    mel_targets: Optional[Sequence[np.ndarray]] = None,
-                   gta: bool = False, max_steps: Optional[int] = None
+                   gta: bool = False, max_steps: Optional[int] = None,
+                   emt_labels: Optional[Sequence[int]] = None
                    ) -> Dict[str, List[np.ndarray]]:
-        """Batch synthesis; returns trimmed mels + alignments (+ raw stops)."""
+        """Batch synthesis; returns trimmed mels + alignments (+ raw stops).
+
+        `emt_labels` drives the style_tokens emt_attn variant's decoder
+        attention query (one-hot concat, tacotron_emt_attn.py:261-285);
+        that variant defaults to label 0 when omitted."""
+        labels_arr = (jnp.asarray(np.asarray(emt_labels, np.int32))
+                      if emt_labels is not None else None)
         inputs, input_lengths = self.prepare_inputs(texts)
         refs_emt = self._pad_refs(ref_mels_emt)
         refs_spk = self._pad_refs(ref_mels_spk)
@@ -309,7 +317,7 @@ class TacotronSynthesizer:
                 for m in mel_targets]).astype(np.float32)
             mels, aligns, stops = self._jit_synth(
                 self.params, self.batch_stats, inputs, input_lengths,
-                refs_emt, refs_spk, targets, self._rngs(),
+                refs_emt, refs_spk, targets, labels_arr, self._rngs(),
                 max_steps=0, use_gta=True)
             lengths = tgt_lengths
         else:
@@ -335,7 +343,7 @@ class TacotronSynthesizer:
             else:
                 mels, aligns, stops = self._jit_synth(
                     self.params, self.batch_stats, inputs, input_lengths,
-                    refs_emt, refs_spk, None, self._rngs(),
+                    refs_emt, refs_spk, None, labels_arr, self._rngs(),
                     max_steps=steps, use_gta=False)
             lengths = self.get_output_lengths(np.asarray(stops))
 

@@ -211,3 +211,25 @@ def test_emt_attn_l2_spk_emb_loss():
     cfg0 = tiny_config(emt_attn=True, emt_attn_type="simple")
     losses0 = compute_losses(out, batch, variables["params"], cfg0)
     assert float(losses0["style_emb_orthog_loss"]) == 0.0
+
+
+def test_style_tokens_emt_attn_synthesis_without_labels():
+    """The style_tokens emt_attn variant queries decoder attention with a
+    one-hot emt label (tacotron_emt_attn.py:261-285); synthesis without
+    labels must default to a neutral label instead of crashing."""
+    cfg = tiny_config(emt_attn=True, emt_attn_type="style_tokens")
+    model = Tacotron(config=cfg)
+    batch = make_batch(B=2)
+    variables = model.init(
+        RNGS, batch["inputs"], batch["input_lengths"],
+        mel_targets=batch["mel_targets"], ref_mel_emt=batch["ref_mel_emt"],
+        ref_mel_spk=batch["ref_mel_spk"], emt_labels=batch["emt_labels"],
+        train=True)
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        batch["inputs"], batch["input_lengths"],
+        ref_mel_emt=batch["ref_mel_emt"], ref_mel_spk=batch["ref_mel_spk"],
+        synthesis=True, max_steps=5,
+        rngs={k: v for k, v in RNGS.items() if k != "params"})
+    assert np.isfinite(np.asarray(out.mel_outputs)).all()
