@@ -315,7 +315,7 @@ def bench_tacotron_decode(cfg, B=48, T_in=256, steps=500, M=1024):
                 us_per_step=dt / steps * 1e6, batch=B)
 
 
-def bench_decode_variants(cfg, B=32, T_in=400, K=64, M=1024, n_blocks=4):
+def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
     """The two decode paths beyond the monolithic kernel's envelope
     (VERDICT r2 item 4): long-input blocked fused decode (T_in > 256) and
     the emt_attn variant's scan-block path."""
@@ -364,12 +364,14 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=64, M=1024, n_blocks=4):
         t_in=T_in, batch=B, us_per_step=round(dt * 1e6, 1),
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
 
-    # --- emt_attn scan-block decode --------------------------------------
+    # --- emt_attn decode: fused block kernel + scan-block comparison -----
     cfg_e = cfg.replace(gst=dataclasses.replace(
         cfg.gst, emt_attn=True, emt_attn_type="simple"))
     dec_e = Decoder(config=cfg_e)
-    emt_mem = jnp.asarray(rng.normal(size=(B, 16, 2 * cfg.gst.reference_depth))
-                          * 0.1, jnp.float32)
+    Tref = 4
+    emt_mem = jnp.asarray(
+        rng.normal(size=(B, Tref, 2 * cfg.gst.reference_depth)) * 0.1,
+        jnp.float32)
     ref_spk = jnp.asarray(rng.normal(size=(B, cfg.gst.reference_depth))
                           * 0.1, jnp.float32)
     Te = 128
@@ -401,6 +403,25 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=64, M=1024, n_blocks=4):
     float(jnp.sum(f[:, -1, 0]))
     dt = (time.perf_counter() - t0) / (n_blocks * K)
     out["emt_attn_scan_block"] = dict(
+        t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
+        mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
+
+    # fused-block emt decode (in-kernel SimpleBahdanau + context_emt feed)
+    dp_e = extract_decoder_params({"decoder": var_e["params"]}, cfg_e)
+    run_e = build_decoder_block_kernel(cfg_e, B, Te, K, M,
+                                       weight_dtype=jnp.bfloat16,
+                                       emt_T=Tref)
+    st = init_decoder_state(cfg_e, B, Te, M)
+    f, _, _, st = run_e(dp_e, keys_e, mem_e, mask_e, st, 7, emt_mem, ref_spk)
+    sync(f)
+    st = init_decoder_state(cfg_e, B, Te, M)
+    t0 = time.perf_counter()
+    for i in range(n_blocks):
+        f, _, _, st = run_e(dp_e, keys_e, mem_e, mask_e, st, 8 + i,
+                            emt_mem, ref_spk)
+    sync(f)
+    dt = (time.perf_counter() - t0) / (n_blocks * K)
+    out["emt_attn_fused_block"] = dict(
         t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
     return out

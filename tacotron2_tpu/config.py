@@ -156,6 +156,12 @@ class TacotronConfig:
     # stream fired its stop condition (reference dynamic_decode semantics,
     # custom_decoder.py:107-139). 0 = always run max_iters steps.
     early_stop_block: int = 64
+    # block size of the BLOCKED fused decode kernel (long-input / emt_attn
+    # paths): each block is one device roundtrip, so bigger blocks amortize
+    # per-call dispatch (measured ~9 ms through the tunneled backend:
+    # K=64 -> 260 us/step, K=256 -> 117 us/step) at coarser early-exit
+    # granularity
+    fused_block_steps: int = 256
     # rematerialize decoder-step activations in backward (jax.checkpoint):
     # the TPU replacement for the reference's swap_memory CPU offload
     # (hparams.py:262, tacotron.py:354) — enables long-utterance training
@@ -167,9 +173,11 @@ class TacotronConfig:
     # train step. Master params, cumulative alignments, BatchNorm stacks
     # (encoder/postnet), and all losses stay float32.
     compute_dtype: str = "float32"      # {float32, bfloat16}
-    # run autoregressive synthesis through the fused Pallas decode kernel
-    # (ops/tacotron_decoder_kernel.py, ~6.6x the XLA scan at B=32); falls
-    # back to the scan path for emt_attn models or inputs > 256 chars
+    # run autoregressive synthesis through the fused Pallas decode kernels
+    # (ops/tacotron_decoder_kernel.py, ~6.6x the XLA scan at B=32): the
+    # monolithic whole-decode kernel up to 256 chars, the blocked kernel
+    # (tile-local operands + carried state, in-kernel simple emt_attn)
+    # beyond that; scan fallback for other emt_attn types / non-TPU
     use_fused_decoder: bool = True
     # fused-decoder weight storage ('bfloat16' = MXU-native rate, 'float32'
     # matches the scan path bit-for-bit up to op order)

@@ -64,29 +64,45 @@ class DecoderParams(NamedTuple):
     proj_wo: jnp.ndarray  # [U, FO]  FO = r*mels + r  ([frames | stops])
     proj_wc: jnp.ndarray  # [M, FO]
     proj_b: jnp.ndarray   # [FO]
+    # emt_attn 'simple' variant (None otherwise): the decoder-side emotion
+    # attention (SimpleBahdanauAttention, attention.py:104-121) and the
+    # extra LSTM1 input rows for [context_emt | ref_spk]
+    l1_we: jnp.ndarray = None    # [E, 4U]  context_emt rows
+    l1_wr: jnp.ndarray = None    # [R, 4U]  ref_spk rows (R=0 when emt_only)
+    emt_w1: jnp.ndarray = None   # [V, A2]
+    emt_b1: jnp.ndarray = None   # [A2]
+    emt_w2: jnp.ndarray = None   # [U, A2]
+    emt_b2: jnp.ndarray = None   # [A2]
+    emt_v: jnp.ndarray = None    # [A2]
 
 
-def extract_decoder_params(params, cfg: Config) -> DecoderParams:
+def extract_decoder_params(params, cfg: Config, *, emt_only: bool = False
+                           ) -> DecoderParams:
     """Flatten the flax decoder subtree into DecoderParams.
 
     Layout produced by models/tacotron/decoder.py: cell/{prenet,lstm1,lstm2,
     attention,frame_projection,stop_projection}. LSTM kernels are
-    [(x_dim + U), 4U] with x = concat(prenet_out, context) (TF LSTMCell
-    (i,j,f,o) gate order, forget_bias=1 — folded into the bias here).
+    [(x_dim + U), 4U] with x = concat(prenet_out, context[, context_emt,
+    ref_spk]) (TF LSTMCell (i,j,f,o) gate order, forget_bias=1 — folded into
+    the bias here).
     """
-    tc = cfg.tacotron
+    tc, gst = cfg.tacotron, cfg.gst
     U = tc.decoder_lstm_units
     P = tc.prenet_layers[-1]
     r = tc.outputs_per_step
     mels = cfg.audio.num_mels
     cell = params["decoder"]["cell"]
 
+    emt_simple = gst.emt_attn and gst.emt_attn_type == "simple"
+    E = 2 * gst.reference_depth if emt_simple else 0
+    R = (gst.reference_depth if emt_simple and not emt_only else 0)
+
     pre = cell["prenet"]
     l1k = cell["lstm1"]["kernel"]
     l1b = np.asarray(cell["lstm1"]["bias"]).copy()
     l2k = cell["lstm2"]["kernel"]
     l2b = np.asarray(cell["lstm2"]["bias"]).copy()
-    M = l1k.shape[0] - P - U
+    M = l1k.shape[0] - P - U - E - R
     assert l2k.shape[0] == 2 * U, l2k.shape
     # fold forget_bias=1.0 (modules.py lstm_step) into the f-gate bias
     l1b[2 * U:3 * U] += 1.0
@@ -100,10 +116,20 @@ def extract_decoder_params(params, cfg: Config) -> DecoderParams:
     proj_b = jnp.concatenate([fp["bias"], sp["bias"]], axis=0)
     assert proj_w.shape == (U + M, r * mels + r), proj_w.shape
 
+    emt = {}
+    if emt_simple:
+        ae = cell["attention_emt"]
+        emt = dict(
+            l1_we=l1k[P + M:P + M + E],
+            l1_wr=(l1k[P + M + E:P + M + E + R] if R else None),
+            emt_w1=ae["W1"]["kernel"], emt_b1=ae["W1"]["bias"],
+            emt_w2=ae["W2"]["kernel"], emt_b2=ae["W2"]["bias"],
+            emt_v=jnp.squeeze(ae["V"]["kernel"], -1))
+
     return DecoderParams(
         pre_w0=pre["Dense_0"]["kernel"], pre_b0=pre["Dense_0"]["bias"],
         pre_w1=pre["Dense_1"]["kernel"], pre_b1=pre["Dense_1"]["bias"],
-        l1_wp=l1k[:P], l1_wc=l1k[P:P + M], l1_wh=l1k[P + M:],
+        l1_wp=l1k[:P], l1_wc=l1k[P:P + M], l1_wh=l1k[P + M + E + R:],
         l1_b=jnp.asarray(l1b),
         l2_wx=l2k[:U], l2_wh=l2k[U:], l2_b=jnp.asarray(l2b),
         wq=att["query_layer"]["kernel"],
@@ -113,7 +139,7 @@ def extract_decoder_params(params, cfg: Config) -> DecoderParams:
         v_a=jnp.squeeze(att["attention_variable_projection"], -1),
         b_a=att["attention_bias"],
         proj_wo=proj_w[:U], proj_wc=proj_w[U:],
-        proj_b=proj_b)
+        proj_b=proj_b, **emt)
 
 
 def _uniform_from_bits(bits):
@@ -178,18 +204,22 @@ class DecoderKernelState(NamedTuple):
     ctx: jnp.ndarray     # [B, M] f32 attention context
     cum: jnp.ndarray     # [B, Tp] f32 cumulative alignments
     pmax: jnp.ndarray    # [B, 128] i32 previous argmax (window constraint)
+    ctx_emt: jnp.ndarray  # [B, E] f32 emt-attention context ([B,1] unused)
 
 
 def init_decoder_state(cfg: Config, B: int, T_in: int, M: int
                        ) -> DecoderKernelState:
     """Zero carry for a fresh utterance batch (decoder.zero_state parity)."""
+    gst = cfg.gst
     U = cfg.tacotron.decoder_lstm_units
     Tp = ((T_in + 127) // 128) * 128
+    E = (2 * gst.reference_depth
+         if gst.emt_attn and gst.emt_attn_type == "simple" else 1)
     z = lambda *s: jnp.zeros(s, jnp.float32)
     return DecoderKernelState(
         xprev=z(B, 128), c1=z(B, U), h1=z(B, U), c2=z(B, U), h2=z(B, U),
         ctx=z(B, M), cum=z(B, Tp),
-        pmax=jnp.zeros((B, 128), jnp.int32))
+        pmax=jnp.zeros((B, 128), jnp.int32), ctx_emt=z(B, E))
 
 
 def _tiled_attention_operands(dp: DecoderParams, keys, Tp: int, dtype):
@@ -232,6 +262,7 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                                M: int, *,
                                weight_dtype=jnp.bfloat16,
                                emit_alignments: bool = True,
+                               emt_T: int = None,
                                interpret: bool = False):
     """Compile a K-step fused decode block with explicit carry state.
 
@@ -245,11 +276,24 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     ~1024 at B=16 on v5e.
 
     Returns fn(dp, keys [B,T,A], memory [B,T,M], mask [B,T] bool,
-    state: DecoderKernelState, seed) -> (frames [B, K*r, mels],
-    stop_probs [B, K*r], alignments [B, T_in, K] | None, new_state).
+    state: DecoderKernelState, seed[, emt_memory [B,Te,V], ref_spk [B,R]])
+    -> (frames [B, K*r, mels], stop_probs [B, K*r],
+    alignments [B, T_in, K] | None, new_state).
+
+    With `emt_T` set and an emt_attn='simple' config, the decoder-side
+    emotion attention (SimpleBahdanauAttention over the emt-ref sequence,
+    attention.py:104-121, reference tacotron_emt_attn.py:261-285) runs
+    in-kernel: its keys are precomputed per call, the ref_spk LSTM feed is
+    folded into one constant [B, 4U] addend, and context_emt joins the
+    carried state.
     """
-    tc, au = cfg.tacotron, cfg.audio
-    assert not cfg.gst.emt_attn, "emt_attn decoding uses the XLA scan path"
+    tc, gst, au = cfg.tacotron, cfg.gst, cfg.audio
+    has_emt = emt_T is not None
+    if has_emt:
+        assert gst.emt_attn and gst.emt_attn_type == "simple", \
+            "kernel emt support covers the 'simple' variant"
+    else:
+        assert not gst.emt_attn, "emt_attn decode needs emt_T"
     U = tc.decoder_lstm_units
     A = tc.attention_dim
     P = tc.prenet_layers[-1]
@@ -269,22 +313,35 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     win = int(tc.attention_win_size)
     fwd = win // 2 if ctype == "window" else win
     back = (win // 2 + win % 2) if ctype == "window" else 0
+    Te = int(emt_T) if has_emt else 0
+    E = 2 * gst.reference_depth if has_emt else 1
+    ns = 9 if has_emt else 8        # carried state arrays
+    A2 = 2 * gst.reference_depth if has_emt else 0
 
-    def kernel(seed_ref,
-               keys_ref, mem_ref, mask_ref, band_ref, vmat_ref, smask_ref,
-               xprev_in, c1_in, h1_in, c2_in, h2_in, ctx_in, cum_in, pmax_in,
-               pre_w0, pre_b0, pre_w1, pre_b1,
-               l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
-               wq, proj_wo, proj_wc, proj_b,
-               out_ref, *rest):
+    def kernel(seed_ref, *refs):
+        it = iter(refs)
+        (keys_ref, mem_ref, mask_ref, band_ref, vmat_ref,
+         smask_ref) = (next(it) for _ in range(6))
+        if has_emt:
+            (ekeys_ref, evmat_ref, esmask_ref, emem_ref,
+             rs_ref) = (next(it) for _ in range(5))
+        (xprev_in, c1_in, h1_in, c2_in, h2_in, ctx_in, cum_in,
+         pmax_in) = (next(it) for _ in range(8))
+        if has_emt:
+            ctxe_in = next(it)
+        (pre_w0, pre_b0, pre_w1, pre_b1,
+         l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
+         wq, proj_wo, proj_wc, proj_b) = (next(it) for _ in range(15))
+        if has_emt:
+            l1_we, w2e = next(it), next(it)
+        out_ref = next(it)
         if emit_alignments:
-            align_out = rest[0]
-            state_out = rest[1:9]
-            scratch = rest[9:]
-        else:
-            state_out = rest[0:8]
-            scratch = rest[8:]
-        (xprev, c1, h1, c2, h2, ctx, pmax, cum_pad, energy_s) = scratch
+            align_out = next(it)
+        state_out = [next(it) for _ in range(ns)]
+        scratch = list(it)
+        (xprev, c1, h1, c2, h2, ctx, pmax, cum_pad, energy_s) = scratch[:9]
+        if has_emt:
+            ctx_e = scratch[9]
         pltpu.prng_seed(seed_ref[0])
         xprev[:] = xprev_in[:]
         c1[:] = c1_in[:]
@@ -295,6 +352,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         pmax[:] = pmax_in[:]
         cum_pad[:] = jnp.zeros((B, Tp + 256), jnp.float32)
         cum_pad[:, 128:128 + Tp] = cum_in[:]
+        if has_emt:
+            ctx_e[:] = ctxe_in[:]
 
         idx_t = jax.lax.broadcasted_iota(jnp.int32, (B, Tp), 1)
         mask = mask_ref[:]                                   # [B, Tp] f32 1/0
@@ -316,7 +375,9 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             if drop > 0:
                 hpre = jnp.where(u[1] < keep, hpre * (1.0 / keep), 0.0)
 
-            # ---- LSTM1 on concat(prenet, context) via split matmuls
+            # ---- LSTM1 on concat(prenet, context[, ctx_emt, ref_spk])
+            # via split matmuls; the static ref_spk rows arrive pre-folded
+            # as one [B, 4U] addend (rs_ref)
             ctx_now = ctx[:]
             z1 = (jnp.dot(hpre.astype(weight_dtype), l1_wp[:],
                           preferred_element_type=jnp.float32)
@@ -325,6 +386,10 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                   + jnp.dot(h1[:].astype(weight_dtype), l1_wh[:],
                             preferred_element_type=jnp.float32)
                   + l1_b[:])
+            if has_emt:
+                z1 = (z1 + jnp.dot(ctx_e[:].astype(weight_dtype), l1_we[:],
+                                   preferred_element_type=jnp.float32)
+                      + rs_ref[:])
             i1, j1, f1, o1 = (z1[:, :U], z1[:, U:2 * U],
                               z1[:, 2 * U:3 * U], z1[:, 3 * U:])
             nc1 = jax.nn.sigmoid(f1) * c1[:] + jax.nn.sigmoid(i1) * jnp.tanh(j1)
@@ -344,6 +409,23 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             c2[:] = (1 - zo) * nc2 + zo * c2[:]
             h2[:] = (1 - zo) * nh2 + zo * h2[:]
             out2 = h2[:]
+
+            # ---- emt-reference attention (SimpleBahdanau over the emt-ref
+            # sequence, attention.py:104-121): next step's context_emt
+            if has_emt:
+                qe = jnp.dot(out2.astype(weight_dtype), w2e[:],
+                             preferred_element_type=jnp.float32)   # [B, A2]
+                qe_rep = pltpu.repeat(qe, Te, axis=1)              # [B, Te*A2]
+                ee = jnp.tanh(ekeys_ref[:] + qe_rep)
+                en = jnp.dot(ee.astype(weight_dtype), evmat_ref[:],
+                             preferred_element_type=jnp.float32)   # [B, Te]
+                emx = jnp.max(en, axis=-1, keepdims=True)
+                eex = jnp.exp(en - emx)
+                align_e = eex / jnp.sum(eex, axis=-1, keepdims=True)
+                ae_rep = pltpu.repeat(align_e, B, axis=1)          # [B, B*Te]
+                ctx_e[:] = jnp.dot(
+                    (ae_rep * esmask_ref[:]).astype(weight_dtype), emem_ref[:],
+                    preferred_element_type=jnp.float32)            # [B, E]
 
             # ---- location-sensitive attention, tiled over 128-wide tiles:
             # per tile, loc = cum_window[B,384] @ band3 and the energy
@@ -402,7 +484,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
 
         jax.lax.fori_loop(0, K, step_body, 0)
 
-        (xprev_o, c1_o, h1_o, c2_o, h2_o, ctx_o, cum_o, pmax_o) = state_out
+        (xprev_o, c1_o, h1_o, c2_o, h2_o, ctx_o, cum_o,
+         pmax_o) = state_out[:8]
         xprev_o[:] = xprev[:]
         c1_o[:] = c1[:]
         h1_o[:] = h1[:]
@@ -411,6 +494,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         ctx_o[:] = ctx[:]
         cum_o[:] = cum_pad[:, 128:128 + Tp]
         pmax_o[:] = pmax[:]
+        if has_emt:
+            state_out[8][:] = ctx_e[:]
 
     state_shapes = [
         jax.ShapeDtypeStruct((B, 128), jnp.float32),   # xprev
@@ -422,30 +507,36 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         jax.ShapeDtypeStruct((B, Tp), jnp.float32),    # cum
         jax.ShapeDtypeStruct((B, 128), jnp.int32),     # pmax
     ]
-    n_weights = 15
+    if has_emt:
+        state_shapes.append(jax.ShapeDtypeStruct((B, E), jnp.float32))
+    n_weights = 15 + (2 if has_emt else 0)
+    n_ops = 6 + (5 if has_emt else 0)
     out_shapes = [jax.ShapeDtypeStruct((K, B, FO), jnp.float32)]
     if emit_alignments:
         out_shapes.append(jax.ShapeDtypeStruct((K, B, Tp), jnp.bfloat16))
     out_shapes.extend(state_shapes)
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes)
 
+    scratch_shapes = [
+        pltpu.VMEM((B, 128), jnp.float32),        # xprev
+        pltpu.VMEM((B, U), jnp.float32),          # c1
+        pltpu.VMEM((B, U), jnp.float32),          # h1
+        pltpu.VMEM((B, U), jnp.float32),          # c2
+        pltpu.VMEM((B, U), jnp.float32),          # h2
+        pltpu.VMEM((B, M), jnp.float32),          # context
+        pltpu.VMEM((B, 128), jnp.int32),          # prev max attention
+        pltpu.VMEM((B, Tp + 256), jnp.float32),   # padded cum alignments
+        pltpu.VMEM((B, Tp), jnp.float32),         # energy scratch
+    ]
+    if has_emt:
+        scratch_shapes.append(pltpu.VMEM((B, E), jnp.float32))  # ctx_emt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (6 + len(state_shapes) + n_weights),
+        * (n_ops + len(state_shapes) + n_weights),
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((B, 128), jnp.float32),        # xprev
-            pltpu.VMEM((B, U), jnp.float32),          # c1
-            pltpu.VMEM((B, U), jnp.float32),          # h1
-            pltpu.VMEM((B, U), jnp.float32),          # c2
-            pltpu.VMEM((B, U), jnp.float32),          # h2
-            pltpu.VMEM((B, M), jnp.float32),          # context
-            pltpu.VMEM((B, 128), jnp.int32),          # prev max attention
-            pltpu.VMEM((B, Tp + 256), jnp.float32),   # padded cum alignments
-            pltpu.VMEM((B, Tp), jnp.float32),         # energy scratch
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     call = pl.pallas_call(
@@ -459,7 +550,7 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
 
     @jax.jit
     def run(dp: DecoderParams, keys, memory, mask, state: DecoderKernelState,
-            seed):
+            seed, emt_memory=None, ref_spk=None):
         wd = weight_dtype
         pad_t = Tp - keys.shape[1]
         keys = jnp.pad(keys, ((0, 0), (0, pad_t), (0, 0)))
@@ -471,6 +562,29 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         mem2 = memory.reshape(B * Tp, M).astype(wd)
         smask = (jnp.arange(B)[:, None]
                  == jnp.arange(B * Tp)[None, :] // Tp).astype(jnp.float32)
+        emt_ops, emt_weights = (), ()
+        if has_emt:
+            assert emt_memory is not None and emt_memory.shape[1] == Te
+            V = emt_memory.shape[2]
+            # SimpleBahdanau keys with both dense biases pre-folded; the
+            # score bias (V layer) shifts every energy equally — dropped
+            ekeys = (emt_memory.astype(jnp.float32) @ dp.emt_w1
+                     + dp.emt_b1[None, None] + dp.emt_b2[None, None]
+                     ).reshape(B, Te * A2).astype(wd)
+            evmat = (jnp.eye(Te, dtype=jnp.float32)[:, None, :]
+                     * dp.emt_v.astype(jnp.float32)[None, :, None]
+                     ).reshape(Te * A2, Te).astype(wd)
+            esmask = (jnp.arange(B)[:, None]
+                      == jnp.arange(B * Te)[None, :] // Te
+                      ).astype(jnp.float32)
+            emem2 = emt_memory.reshape(B * Te, V).astype(wd)
+            if dp.l1_wr is not None and ref_spk is not None:
+                rs_add = (ref_spk.astype(jnp.float32)
+                          @ dp.l1_wr).astype(jnp.float32)
+            else:
+                rs_add = jnp.zeros((B, 4 * U), jnp.float32)
+            emt_ops = (ekeys, evmat, esmask, emem2, rs_add)
+            emt_weights = (dp.l1_we.astype(wd), dp.emt_w2.astype(wd))
         weights = (
             dp.pre_w0.astype(wd), dp.pre_b0.astype(jnp.float32),
             dp.pre_w1.astype(wd), dp.pre_b1.astype(jnp.float32),
@@ -481,9 +595,10 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             dp.wq.astype(wd),
             dp.proj_wo.astype(wd), dp.proj_wc.astype(wd),
             dp.proj_b.astype(jnp.float32))
+        state_in = tuple(state) if has_emt else tuple(state)[:8]
         outs = call(jnp.asarray([seed], jnp.int32),
-                    keys2, mem2, mask, band3, vmat128, smask,
-                    *state, *weights)
+                    keys2, mem2, mask, band3, vmat128, smask, *emt_ops,
+                    *state_in, *weights, *emt_weights)
         out = outs[0]
         if emit_alignments:
             align_raw, new_state = outs[1], outs[2:]
@@ -496,6 +611,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         if align_raw is not None:
             aligns = (align_raw[:, :, :T_in].astype(jnp.float32)
                       .transpose(1, 2, 0))                 # [B, T_in, K]
+        if not has_emt:
+            new_state = tuple(new_state) + (state.ctx_emt,)
         return frames, stops, aligns, DecoderKernelState(*new_state)
 
     return run

@@ -167,18 +167,19 @@ class TacotronSynthesizer:
                 and len(set(tc.prenet_layers)) == 1)
 
     def _fused_block_eligible(self, batch: int, t_in_padded: int) -> bool:
-        """Long-input fused path: the blocked kernel's tiled attention
-        operands scale with B*Tp*M instead of Tp^2, so T_in beyond 256 stays
-        on the MXU as long as the resident operands fit VMEM (~512 at B<=32,
-        ~1024 at B<=16 on v5e)."""
+        """Long-input (and emt_attn 'simple') fused path: the blocked
+        kernel's tiled attention operands scale with B*Tp*M instead of Tp^2,
+        so T_in beyond 256 stays on the MXU as long as the resident operands
+        fit VMEM (~512 at B<=32, ~1024 at B<=16 on v5e); the simple
+        emt-reference attention runs in-kernel."""
         from ..ops.tacotron_decoder_kernel import block_kernel_vmem_bytes
         tc, gst = self.cfg.tacotron, self.cfg.gst
         if not (tc.use_fused_decoder
                 and jax.default_backend() == "tpu"
-                and not gst.emt_attn
+                and (not gst.emt_attn or gst.emt_attn_type == "simple")
                 and len(set(tc.prenet_layers)) == 1):
             return False
-        k = max(tc.early_stop_block, 1)
+        k = max(tc.fused_block_steps, 1)
         M = 1024  # memory width estimate; exact width checked at build
         return block_kernel_vmem_bytes(
             self.cfg, batch, t_in_padded, k, M) <= 100 * 1024 * 1024
@@ -193,21 +194,24 @@ class TacotronSynthesizer:
         from ..ops.tacotron_decoder_kernel import (build_decoder_block_kernel,
                                                    extract_decoder_params,
                                                    init_decoder_state)
-        tc = self.cfg.tacotron
-        keys, memory, mask, _, _ = self._jit_memory(
+        tc, gst = self.cfg.tacotron, self.cfg.gst
+        keys, memory, mask, emt_memory, ref_spk = self._jit_memory(
             self.params, self.batch_stats, jnp.asarray(inputs),
             jnp.asarray(input_lengths), jnp.asarray(refs_emt),
             jnp.asarray(refs_spk))
         B, t_in, M = memory.shape
         if self._dec_params is None:
-            self._dec_params = extract_decoder_params(self.params, self.cfg)
+            self._dec_params = extract_decoder_params(
+                self.params, self.cfg, emt_only=self.model.emt_only)
         wd = (jnp.bfloat16 if tc.fused_decoder_dtype == "bfloat16"
               else jnp.float32)
-        cache_key = ("block", B, t_in, M, k)
+        emt_T = (int(emt_memory.shape[1])
+                 if gst.emt_attn and emt_memory is not None else None)
+        cache_key = ("block", B, t_in, M, k, emt_T)
         run = self._fused_cache.get(cache_key)
         if run is None:
             run = build_decoder_block_kernel(self.cfg, B, t_in, k, M,
-                                             weight_dtype=wd)
+                                             weight_dtype=wd, emt_T=emt_T)
             self._fused_cache[cache_key] = run
         state = init_decoder_state(self.cfg, B, t_in, M)
         fired = np.zeros(B, bool)
@@ -216,7 +220,8 @@ class TacotronSynthesizer:
         for _ in range(n_blocks):
             self._fused_seed += 1
             frames, stops, aligns, state = run(
-                self._dec_params, keys, memory, mask, state, self._fused_seed)
+                self._dec_params, keys, memory, mask, state,
+                self._fused_seed, emt_memory, ref_spk)
             frames_l.append(np.asarray(frames))
             stops_l.append(np.asarray(stops))
             aligns_l.append(np.asarray(aligns))
@@ -330,13 +335,14 @@ class TacotronSynthesizer:
             blockable = (not self.cfg.gst.emt_attn
                          or self.cfg.gst.emt_attn_type in ("simple",
                                                            "multihead"))
+            kf = min(max(self.cfg.tacotron.fused_block_steps, 1), steps)
             if self._fused_eligible(inputs.shape[1]):
                 mels, aligns, stops = self._fused_synth(
                     inputs, input_lengths, refs_emt, refs_spk, steps)
             elif (0 < k < steps and self._fused_block_eligible(
                     len(inputs), inputs.shape[1])):
                 mels, aligns, stops = self._fused_block_synth(
-                    inputs, input_lengths, refs_emt, refs_spk, steps, k)
+                    inputs, input_lengths, refs_emt, refs_spk, steps, kf)
             elif 0 < k < steps and blockable:
                 mels, aligns, stops = self._scan_block_synth(
                     inputs, input_lengths, refs_emt, refs_spk, steps, k)

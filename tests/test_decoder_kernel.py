@@ -285,3 +285,62 @@ def test_scan_block_decode_matches_full_scan(setup):
     np.testing.assert_allclose(np.concatenate(fs, 1), f_full, atol=1e-5)
     np.testing.assert_allclose(np.concatenate(ss, 1), s_full, atol=1e-5)
     np.testing.assert_allclose(np.concatenate(als, 2), a_full, atol=1e-5)
+
+
+def test_block_kernel_emt_attn_matches_scan():
+    """emt_attn='simple' in-kernel (SimpleBahdanau over the emt-ref
+    sequence + context_emt/ref_spk LSTM feed): the blocked kernel matches
+    Decoder.autoregressive with the same emt operands."""
+    import dataclasses as dc
+
+    from tacotron2_tpu.ops.tacotron_decoder_kernel import (
+        block_kernel_vmem_bytes)
+
+    cfg = get_config("default")
+    cfg = cfg.with_overrides("tacotron.dropout_rate=0.0")
+    cfg = cfg.replace(gst=dc.replace(cfg.gst, emt_attn=True,
+                                     emt_attn_type="simple",
+                                     reference_depth=8))
+    B2, T2, M2, steps, k = 2, 20, 64, 8, 4
+    Te, E, R = 3, 2 * 8, 8
+    rng = np.random.default_rng(2)
+    memory = jnp.asarray(rng.normal(size=(B2, T2, M2)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([T2, T2 - 5], jnp.int32)
+    mask = jnp.arange(T2)[None, :] < lengths[:, None]
+    keys = jnp.asarray(
+        rng.normal(size=(B2, T2, cfg.tacotron.attention_dim)) * 0.3,
+        jnp.float32)
+    emt_memory = jnp.asarray(rng.normal(size=(B2, Te, E)) * 0.4, jnp.float32)
+    ref_spk = jnp.asarray(rng.normal(size=(B2, R)) * 0.4, jnp.float32)
+
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    variables = dec.init(rngs, B2, steps, keys, memory, mask,
+                         emt_memory=emt_memory, ref_spk=ref_spk,
+                         method=Decoder.autoregressive)
+    params = variables["params"]
+    f_ref, s_ref, a_ref, _ = dec.apply(
+        {"params": params}, B2, steps, keys, memory, mask,
+        emt_memory=emt_memory, ref_spk=ref_spk,
+        method=Decoder.autoregressive,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    assert dp.l1_we is not None and dp.l1_wr is not None
+    run_blk = build_decoder_block_kernel(cfg, B2, T2, k, M2,
+                                         weight_dtype=jnp.float32,
+                                         emt_T=Te, interpret=True)
+    state = init_decoder_state(cfg, B2, T2, M2)
+    fs, ss = [], []
+    for i in range(steps // k):
+        f, s_, a_, state = run_blk(dp, keys, memory, mask, state, 3 + i,
+                                   emt_memory, ref_spk)
+        fs.append(np.asarray(f))
+        ss.append(np.asarray(s_))
+    np.testing.assert_allclose(np.concatenate(fs, 1), np.asarray(f_ref),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(np.concatenate(ss, 1), np.asarray(s_ref),
+                               rtol=0, atol=3e-5)
+    assert block_kernel_vmem_bytes(cfg, B2, T2, k, M2) > 0
