@@ -439,3 +439,33 @@ def test_run_eval_save_wavs_batched(tmp_path):
         assert wav_path.stat().st_size > cfg.audio.sample_rate // 2 * 2
         assert (eval_dir / "plots" / f"alignment-eval-{i}.png").exists()
     assert (eval_dir / "map.txt").exists()
+
+
+def test_synthesize_emt_attn_simple_block_path():
+    """emt_attn='simple' synthesis through the synthesizer: the emt
+    operands (emt_memory sequence + ref_spk) thread through the memory pass
+    into the block decode loop (scan-block on CPU; the blocked fused kernel
+    takes the same operands on TPU)."""
+    import dataclasses
+
+    from tacotron2_tpu.models.tacotron.model import Tacotron
+    from tacotron2_tpu.synth.tacotron_synth import TacotronSynthesizer
+
+    cfg = tiny_config(emt_attn=True, emt_attn_type="simple")
+    cfg = cfg.replace(tacotron=dataclasses.replace(
+        cfg.tacotron, max_iters=8, early_stop_block=4))
+    model = Tacotron(config=cfg)
+    batch = make_batch(B=2)
+    variables = model.init(RNGS, batch["inputs"], batch["input_lengths"],
+                           mel_targets=batch["mel_targets"],
+                           ref_mel_emt=batch["ref_mel_emt"],
+                           ref_mel_spk=batch["ref_mel_spk"], train=True)
+    synth = TacotronSynthesizer(cfg, variables["params"],
+                                variables.get("batch_stats", {}), model=model)
+    rng = np.random.default_rng(0)
+    refs = [rng.uniform(-4, 4, (9, 20)).astype(np.float32)] * 2
+    out = synth.synthesize(["ab cd", "efg"], refs, refs)
+    assert len(out["mels"]) == 2
+    for m in out["mels"]:
+        assert np.isfinite(m).all()
+        assert m.shape[1] == cfg.audio.num_mels
