@@ -147,9 +147,12 @@ class WaveNet(nn.Module):
             interpret = jax.default_backend() != "tpu"
             cfg = self.config
 
+            Bl = x.shape[0] // ndata
+            Tt = 128 if Bl <= 16 else 64
+
             def body(sp_, x_, c_, seed_):
                 seed_ = seed_ + jax.lax.axis_index("data").astype(jnp.int32)
-                return fused_stack_apply(cfg, sp_, x_, c_, seed_,
+                return fused_stack_apply(cfg, sp_, x_, c_, seed_, Tt=Tt,
                                          interpret=interpret)
 
             return shard_map(
@@ -158,7 +161,10 @@ class WaveNet(nn.Module):
                           P("data", None, None), P("data", None, None), P()),
                 out_specs=P("data", None, None),
                 check_vma=False)(sp, x32, c32, seed)
-        return fused_stack_apply(self.config, sp, x32, c32, seed)
+        # bigger batches shrink the time tile to hold rows = Tt*B (the
+        # VMEM unit of the saved-activation tiles and halo carries) constant
+        Tt = 128 if x.shape[0] <= 16 else 64
+        return fused_stack_apply(self.config, sp, x32, c32, seed, Tt=Tt)
 
     def body(self, x, c, g_vec, *, train: bool):
         """Conv stack [B, T, in] → logits [B, T, out_channels] (wavenet.py:650-721)."""
