@@ -20,10 +20,12 @@ program, mirroring ops/wavenet_kernel.py:
 - the stop/frame projections fuse into one matmul; stop sigmoid applied
   in-kernel (TacoTestHelper semantics) so the host only trims lengths.
 
-Support envelope (asserted at build): the default/paper model families —
-no `emt_attn` decoder-side attention (that variant keeps the XLA scan path).
+Support envelope (asserted at build): the default/paper model families.
 GST/style conditioning is untouched: style embeddings concat into `memory`
-before the loop.
+before the loop. The BLOCKED kernel (build_decoder_block_kernel) extends
+coverage to long inputs (tile-local location operands + carried state) and
+runs the `emt_attn` 'simple' decoder-side attention in-kernel; multihead/
+style_tokens emt variants keep the XLA scan path.
 """
 
 from __future__ import annotations
