@@ -645,18 +645,11 @@ def main():
     else:
         detail["skipped"].append("decode_variants")
 
-    # --- training throughput (both models, bf16 configs) -----------------
-    if _remaining() > 90:
-        try:
-            detail.update(_timed('train', lambda: bench_training(cfg)))
-        except Exception as e:  # pragma: no cover
-            detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        detail["skipped"].append("training")
-
-    # --- live XLA-scan baseline (last: cold-compile risk) ----------------
-    # vs_baseline should come from a measurement taken THIS run; the frozen
-    # constant only stands if the budget runs out or the live run fails.
+    # --- live XLA-scan baseline (before training: its program is warm in
+    # ~2 s after a cache warm-up, while the training section's per-process
+    # program load can eat minutes of budget on a slow tunnel day; a COLD
+    # scan compile still can't wedge the emission — the watchdog emits
+    # best-so-far with the frozen constant) -------------------------------
     if ("vocoder" in sections and "_scan_ctx" in sections["vocoder"]
             and _remaining() > 60
             and os.environ.get("BENCH_SCAN_LIVE", "1") == "1"):
@@ -670,6 +663,15 @@ def main():
         except Exception as e:  # pragma: no cover
             detail["scan_live_error"] = f"{type(e).__name__}: {e}"[:160]
     sections.get("vocoder", {}).pop("_scan_ctx", None)
+
+    # --- training throughput (both models, bf16 configs) -----------------
+    if _remaining() > 90:
+        try:
+            detail.update(_timed('train', lambda: bench_training(cfg)))
+        except Exception as e:  # pragma: no cover
+            detail["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("training")
 
     detail["elapsed_s"] = round(time.time() - _T0, 1)
     if not detail["skipped"]:
