@@ -35,7 +35,10 @@ import sys
 import threading
 import time
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+# 550 s default: fits the 600 s driver timeout with startup+emit margin;
+# per-process program-load variance on the tunneled backend ranges the
+# full suite 340-520 s across validation runs
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "550"))
 _T0 = time.time()
 
 
