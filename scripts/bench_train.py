@@ -120,9 +120,10 @@ def main(argv=None):
                         "stack / Tacotron decode scan); measured best: "
                         "bf16 WaveNet B=16 (1.4x f32) and bf16 Tacotron")
     p.add_argument("--fused", action="store_true",
-                   help="use the fused Pallas teacher-forced decoder "
-                        "(tacotron.use_fused_train_decoder) — the "
-                        "measured-best production config, what bench.py runs")
+                   help="use the fused Pallas train kernels (tacotron."
+                        "use_fused_train_decoder + wavenet."
+                        "use_fused_train_stack) — the measured-best "
+                        "production config, what bench.py runs")
     args = p.parse_args(argv)
 
     _enable_compile_cache()
@@ -137,8 +138,11 @@ def main(argv=None):
             tacotron=dataclasses.replace(cfg.tacotron,
                                          compute_dtype="bfloat16"))
     if args.fused:
-        cfg = cfg.replace(tacotron=dataclasses.replace(
-            cfg.tacotron, use_fused_train_decoder=True))
+        cfg = cfg.replace(
+            tacotron=dataclasses.replace(cfg.tacotron,
+                                         use_fused_train_decoder=True),
+            wavenet=dataclasses.replace(cfg.wavenet,
+                                        use_fused_train_stack=True))
 
     results = []
     if args.model in ("tacotron", "both"):
