@@ -92,6 +92,37 @@ def main(argv=None):
             print(rec, flush=True)
             last = (mae, diag, aligns)
 
+    # ---- free-running (natural) synthesis check: the reference's actual
+    # convergence bar is eval SYNTHESIS forming a diagonal
+    # (tacotron/train.py:602-706) — run the trained params through the
+    # synthesizer (fused decode kernel) with no teacher forcing
+    natural = None
+    try:
+        from tacotron2_tpu.eval.convergence import alignment_diagonality
+        from tacotron2_tpu.synth.tacotron_synth import TacotronSynthesizer
+
+        synth = TacotronSynthesizer(cfg, state.params, state.batch_stats,
+                                    model=trainer.model)
+        texts = [row[7] for row in rows[:8]]
+        refs = [np.asarray(batch["ref_mel_emt"][i]) for i in range(8)]
+        out = synth.synthesize(texts, refs, refs, max_steps=160)
+        lens_in = np.asarray([len(t) + 1 for t in texts])
+        lens_out = np.asarray([m.shape[0] for m in out["mels"]])
+        diag_n = []
+        for a, li, lo in zip(out["alignments"], lens_in, lens_out):
+            pad = np.zeros((li, max(1, lo // r)), np.float32)
+            m = a[:li, :pad.shape[1]]
+            pad[:m.shape[0], :m.shape[1]] = m
+            diag_n.extend(alignment_diagonality(
+                pad[None], np.asarray([li]), np.asarray([lo]), r))
+        natural = dict(mean_diagonality=round(float(np.mean(diag_n)), 4),
+                       per_utt=[round(d, 3) for d in diag_n],
+                       out_frames=[int(x) for x in lens_out])
+        print("NATURAL", json.dumps(natural), flush=True)
+    except Exception as e:  # pragma: no cover
+        natural = dict(error=f"{type(e).__name__}: {e}"[:200])
+        print("NATURAL-ERROR", natural, flush=True)
+
     mae, diag, aligns = last
     for b in range(min(3, aligns.shape[0])):
         L = int(batch["input_lengths"][b])
@@ -103,6 +134,7 @@ def main(argv=None):
                   final_mel_mae=round(mae, 4),
                   mean_diagonality=round(float(np.mean(diag)), 4),
                   per_utt_diagonality=[round(d, 3) for d in diag],
+                  natural_synthesis=natural,
                   wall_s=round(time.time() - t0, 1),
                   device=str(jax.devices()[0]))
     with open(os.path.join(args.out, "report.json"), "w") as f:
