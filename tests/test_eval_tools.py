@@ -83,3 +83,35 @@ def test_human_eval_ab(tmp_path):
     res = score_ab_test(answers, str(resp))
     expected = sum(1 for r in rows if r["test1"] == "new")
     assert res["prefer_new"] == expected and res["total"] == 4
+
+
+def test_roofline_accounting():
+    """Speed-of-light accounting sanity: chip peak lookup, positive FLOP
+    counts, decode useful < actual (block-diag context redundancy), and
+    mfu_entry's achieved/percent/bound arithmetic."""
+    from tacotron2_tpu.config import get_config
+    from tacotron2_tpu.utils import roofline as R
+
+    cfg = get_config("default")
+    assert R.chip_peaks("TPU v5 lite0")[0] == 197.0
+    assert R.chip_peaks("TPU v4")[0] == 275.0
+    assert R.chip_peaks("unknown chip") == (197.0, 819.0)
+
+    samp = R.wavenet_sampler_step(cfg, 256)
+    dec = R.tacotron_decode_step(cfg, 48, 256)
+    gl = R.griffin_lim_audio_second(cfg)
+    wnt = R.wavenet_train_step(cfg, 16, 11008)
+    tt = R.tacotron_train_step(cfg, 96, 400, 50)
+    for w in (samp, dec, gl, wnt, tt):
+        assert w["flops_per_step"] > 0
+    assert dec["actual_flops_per_step"] > dec["flops_per_step"]
+    # train step ~ 3x fwd of the stack: more FLOPs than 2x the fwd-only
+    assert wnt["flops_per_step"] > 2 * (wnt["flops_per_step"] / 3)
+
+    e = R.mfu_entry(wnt, 33e-3, "TPU v5 lite0")
+    assert abs(e["achieved_tflops"]
+               - wnt["flops_per_step"] / 33e-3 / 1e12) < 0.1
+    assert 0 < e["pct_bf16_peak"] < 100
+    assert e["bound"] in ("flops", "hbm")
+    e2 = R.mfu_entry(dec, 58e-6, "TPU v5 lite0")
+    assert e2["actual_tflops"] > e2["achieved_tflops"]
