@@ -1,0 +1,350 @@
+"""Multi-process `jax.distributed` dryrun: the REAL multi-controller path.
+
+Launches N separate Python processes on localhost (CPU backend, K virtual
+devices each), each of which calls the framework's own bring-up
+(`parallel.mesh.maybe_initialize_distributed`, driven purely by the
+JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env contract),
+builds the global ('data','model') mesh, and executes:
+
+  1. the FULL fused-Pallas-decoder Tacotron train step (grad all-reduce over
+     processes, masked-adam update) for several steps;
+  2. the DP x TP WaveNet train step (channel-sharded residual stack, psum on
+     the row-parallel partial sums — collectives now crossing process
+     boundaries);
+  3. per-host Feeder sharding (data/feeder.py shard_by_host): each process
+     reports its metadata shard and the head of its shuffle stream.
+
+The parent then re-runs the identical workload in ONE process over the same
+number of global devices and asserts loss/grad parity step-by-step, plus
+feeder-shard disjointness/completeness and shuffle decorrelation.
+
+This executes the machinery that replaces the reference's CPU-hub gradient
+averaging (/root/reference/code/tacotron/models/tacotron.py:1194-1225) across
+real process boundaries — the multi-host story SURVEY §6 mandates testing via
+"multiprocess simulation" (SURVEY.md:312-314).
+
+Usage:
+  python scripts/run_multiprocess_dryrun.py            # 2 procs x 4 devices
+  python scripts/run_multiprocess_dryrun.py --procs 4 --local-devices 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------- worker
+
+def worker_main(args) -> None:
+    """Runs inside each spawned process. Env (set by the parent, consumed by
+    maybe_initialize_distributed): JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID."""
+    import numpy as np
+
+    # win over any TPU plugin sitecustomize: this worker is CPU-only
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, REPO)
+    from tacotron2_tpu.parallel.mesh import maybe_initialize_distributed
+
+    n_procs = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    inited = maybe_initialize_distributed()
+    assert inited == (os.environ.get("JAX_COORDINATOR_ADDRESS") is not None)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == n_procs, (jax.process_count(), n_procs)
+    pid = jax.process_index()
+    devices = jax.devices()
+    ndev = len(devices)
+    result = dict(process_index=pid, process_count=jax.process_count(),
+                  n_global_devices=ndev,
+                  n_local_devices=len(jax.local_devices()))
+
+    import __graft_entry__ as ge
+
+    # ---- per-host feeder sharding (data/feeder.py:111-118) ----
+    from tacotron2_tpu.config import Config
+    from tacotron2_tpu.data.feeder import TacotronFeeder
+
+    cfg_feed = Config()
+    cfg_feed = cfg_feed.replace(train=dataclasses.replace(
+        cfg_feed.train, tacotron_batch_size=4, tacotron_test_size=8))
+    feeder = TacotronFeeder(cfg_feed, args.metadata, shard_by_host=True)
+    result["feeder"] = dict(
+        train_rows=[m[2] for m in feeder.train_meta],
+        test_rows=[m[2] for m in feeder.test_meta],
+        shuffle_head=[int(v) for v in feeder.rng.integers(1 << 30, size=16)])
+
+    def fetch(x):
+        # metrics come out fully replicated -> every process can read them
+        return float(jax.device_get(x))
+
+    def global_batch(batch_np, mesh):
+        """Feed a batch the multi-host way: each process supplies ONLY the
+        shards living on its addressable devices (the global value is known
+        here because the dryrun generates data deterministically)."""
+        def put(x):
+            sh = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+        return {k: put(np.asarray(v)) for k, v in batch_np.items()}
+
+    print(f"[worker {pid}] feeder sharded: {len(feeder.train_meta)} rows",
+          flush=True)
+
+    # ---- 1. fused-decoder Tacotron train step, DP over all processes ----
+    from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+
+    cfg = ge._tiny_config()
+    cfg = cfg.replace(tacotron=dataclasses.replace(
+        cfg.tacotron, use_fused_train_decoder=True))
+    trainer = TacotronTrainer(cfg)
+    batch = {k: np.asarray(v) for k, v in ge._tiny_batch(B=2 * ndev).items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # host-ify before global placement: device_put of committed local arrays
+    # onto non-addressable devices is rejected in multi-controller mode
+    state = jax.tree_util.tree_map(np.asarray, state)
+
+    mesh = Mesh(np.asarray(devices).reshape(ndev), ("data",))
+    with mesh:
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        gb = global_batch(batch, mesh)
+        step_fn = jax.jit(trainer.train_step, out_shardings=(repl, repl))
+        taco = []
+        for s in range(args.steps):
+            state, metrics = step_fn(state, gb, jax.random.PRNGKey(100 + s))
+            taco.append(dict(loss=fetch(metrics["loss"]),
+                             grad_norm=fetch(metrics["grad_norm"])))
+        result["tacotron_fused"] = taco
+    print(f"[worker {pid}] tacotron fused steps done: {taco}", flush=True)
+
+    # ---- 2. WaveNet DP x TP across processes ----
+    from tacotron2_tpu.parallel.mesh import make_mesh
+    from tacotron2_tpu.config import MeshConfig
+    from tacotron2_tpu.parallel.partition import shard_wavenet_state
+    from tacotron2_tpu.train.wavenet_step import WaveNetTrainer
+
+    wn_cfg = cfg.replace(wavenet=dataclasses.replace(
+        cfg.wavenet, layers=4, stacks=2, residual_channels=16,
+        gate_channels=32, skip_out_channels=16, cin_channels=20,
+        upsample_scales=(2, 2), out_channels=2, dropout=0.0))
+    rng = np.random.default_rng(0)
+    B, T_mel, hop = 2 * ndev, 6, 4
+    wn_batch = dict(
+        x=rng.uniform(-0.5, 0.5, (B, T_mel * hop, 1)).astype(np.float32),
+        y=rng.uniform(-0.5, 0.5, (B, T_mel * hop)).astype(np.float32),
+        c=rng.uniform(0, 1, (B, T_mel, 20)).astype(np.float32),
+        input_lengths=np.full((B,), T_mel * hop, np.int32))
+    wn_trainer = WaveNetTrainer(wn_cfg)
+    wn_state = wn_trainer.init_state(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in wn_batch.items()})
+    wn_state = jax.tree_util.tree_map(np.asarray, wn_state)
+    wn_mesh = make_mesh(MeshConfig(model_parallelism=2), devices)
+    with wn_mesh:
+        wn_state = shard_wavenet_state(wn_state, wn_mesh)
+        wn_gb = global_batch(wn_batch, wn_mesh)
+        wn_step = jax.jit(wn_trainer.train_step)
+        wn = []
+        for s in range(args.steps):
+            wn_state, m = wn_step(wn_state, wn_gb, jax.random.PRNGKey(200 + s))
+            wn.append(dict(loss=fetch(m["loss"]),
+                           grad_norm=fetch(m["grad_norm"])))
+        result["wavenet_dp_tp"] = wn
+        result["wavenet_mesh"] = list(wn_mesh.shape.values())
+    print(f"[worker {pid}] wavenet dp x tp steps done: {wn}", flush=True)
+
+    out = os.path.join(args.out, f"worker_{pid}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[worker {pid}] OK -> {out}", flush=True)
+
+
+# --------------------------------------------------------------------- parent
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_fake_metadata(path: str, n: int = 64) -> None:
+    """12-field train.txt rows (schema of data/preprocess.py); mel/audio files
+    are never opened — the dryrun checks metadata sharding only."""
+    with open(path, "w", encoding="utf-8") as f:
+        for i in range(n):
+            frames = 60 + (i * 7) % 200
+            f.write("|".join([
+                "emt4", f"audio-{i:04d}.npy", f"mel-{i:04d}.npy",
+                f"linear-{i:04d}.npy", str(frames * 300), str(frames * 300),
+                str(frames), f"text {i}", f"text {i}", str(i % 4), str(i % 3),
+                f"utt_{i:04d}.wav"]) + "\n")
+
+
+def _spawn(worker_env: dict, argv: list, log_path: str):
+    env = dict(os.environ)
+    env.update(worker_env)
+    logf = open(log_path, "w")
+    return subprocess.Popen([sys.executable, os.path.abspath(__file__)] + argv,
+                            env=env, stdout=logf, stderr=subprocess.STDOUT,
+                            cwd=REPO), logf
+
+
+def parent_main(args) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="mp_dryrun_")
+    meta = os.path.join(tmp, "train.txt")
+    _write_fake_metadata(meta)
+    port = _free_port()
+    n, k = args.procs, args.local_devices
+
+    base_env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={k}",
+        "JAX_NUM_PROCESSES": str(n),
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        # silence TPU plugin pickup in the subprocess
+        "PJRT_DEVICE": "",
+    }
+    wargv = ["--worker", "--metadata", meta, "--out", args.out,
+             "--steps", str(args.steps)]
+
+    procs = []
+    for i in range(n):
+        env = dict(base_env, JAX_PROCESS_ID=str(i))
+        p, logf = _spawn(env, wargv, os.path.join(args.out, f"worker_{i}.log"))
+        procs.append((i, p, logf))
+    rc = 0
+    for i, p, logf in procs:
+        try:
+            p.wait(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            print(f"worker {i} TIMED OUT")
+            rc = 1
+        logf.close()
+        if p.returncode != 0:
+            print(f"worker {i} rc={p.returncode}; tail of log:")
+            print(open(os.path.join(args.out, f"worker_{i}.log")).read()[-2000:])
+            rc = 1
+    if rc:
+        sys.exit(rc)
+
+    # single-process reference: same number of GLOBAL devices, no coordinator
+    ref_env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={n * k}",
+        "JAX_NUM_PROCESSES": "1",
+        "PJRT_DEVICE": "",
+    }
+    ref_out = os.path.join(args.out, "ref")
+    os.makedirs(ref_out, exist_ok=True)
+    rargv = ["--worker", "--metadata", meta, "--out", ref_out,
+             "--steps", str(args.steps)]
+    p, logf = _spawn(ref_env, rargv, os.path.join(args.out, "ref.log"))
+    p.wait(timeout=args.timeout)
+    logf.close()
+    if p.returncode != 0:
+        print("reference run failed; tail of log:")
+        print(open(os.path.join(args.out, "ref.log")).read()[-2000:])
+        sys.exit(1)
+
+    # ------------------------------------------------------------- verdicts
+    import numpy as np
+
+    workers = [json.load(open(os.path.join(args.out, f"worker_{i}.json")))
+               for i in range(n)]
+    ref = json.load(open(os.path.join(ref_out, "worker_0.json")))
+    report = dict(procs=n, local_devices=k, global_devices=n * k,
+                  steps=args.steps, checks={})
+
+    def check(name, ok, detail):
+        report["checks"][name] = dict(ok=bool(ok), detail=detail)
+        print(f"  [{'ok' if ok else 'FAIL'}] {name}: {detail}")
+        return bool(ok)
+
+    ok = True
+    ok &= check("process_count",
+                all(w["process_count"] == n and w["n_global_devices"] == n * k
+                    for w in workers),
+                f"{n} processes x {k} devices -> {n * k} global")
+
+    # loss/grad parity: every worker sees identical replicated metrics, and
+    # they match the single-process run over the same global device count
+    for sec in ("tacotron_fused", "wavenet_dp_tp"):
+        same = all(w[sec] == workers[0][sec] for w in workers)
+        ok &= check(f"{sec}.replicated_agreement", same,
+                    "all workers fetched identical replicated metrics")
+        mp_l = [s["loss"] for s in workers[0][sec]]
+        sp_l = [s["loss"] for s in ref[sec]]
+        close = np.allclose(mp_l, sp_l, rtol=2e-4, atol=1e-5)
+        ok &= check(f"{sec}.loss_parity_vs_single_process", close,
+                    f"multiproc {mp_l} vs single {sp_l}")
+        mp_g = [s["grad_norm"] for s in workers[0][sec]]
+        sp_g = [s["grad_norm"] for s in ref[sec]]
+        close = np.allclose(mp_g, sp_g, rtol=2e-3, atol=1e-5)
+        ok &= check(f"{sec}.grad_norm_parity", close,
+                    f"multiproc {mp_g} vs single {sp_g}")
+
+    # feeder: disjoint host shards covering the whole train split; test set
+    # replicated; shuffle streams decorrelated
+    shards = [set(w["feeder"]["train_rows"]) for w in workers]
+    union = set().union(*shards)
+    disjoint = sum(len(s) for s in shards) == len(union)
+    full = union == set(ref["feeder"]["train_rows"])
+    ok &= check("feeder.disjoint_host_shards", disjoint,
+                f"sizes={[len(s) for s in shards]} union={len(union)}")
+    ok &= check("feeder.union_is_full_train_split", full,
+                f"union {len(union)} == single-process split "
+                f"{len(ref['feeder']['train_rows'])}")
+    ok &= check("feeder.test_split_replicated",
+                all(w["feeder"]["test_rows"] == workers[0]["feeder"]["test_rows"]
+                    for w in workers),
+                "eval set identical on every host")
+    heads = [tuple(w["feeder"]["shuffle_head"]) for w in workers]
+    ok &= check("feeder.decorrelated_shuffles", len(set(heads)) == n,
+                "per-host shuffle RNG streams all distinct")
+
+    report["ok"] = bool(ok)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(("PASS" if ok else "FAIL") +
+          f" -> {os.path.join(args.out, 'report.json')}")
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--procs", type=int, default=2)
+    p.add_argument("--local-devices", type=int, default=4)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--timeout", type=int, default=2400)
+    p.add_argument("--out", default="artifacts/multiprocess_r4")
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--metadata", default=None)
+    args = p.parse_args(argv)
+    if args.worker:
+        worker_main(args)
+    else:
+        parent_main(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--crop", type=int, default=8000)
     p.add_argument("--eval-every", type=int, default=250)
     p.add_argument("--gen-seconds", type=float, default=0.75)
+    p.add_argument("--n-eval", type=int, default=2,
+                   help="utterances to generate for the regen-mel check")
+    p.add_argument("--decay-steps", type=int, default=None,
+                   help="override train.wavenet_decay_steps (the default "
+                        "200k halving leaves LR ~flat over an overfit run; "
+                        "a faster decay quiets the late-training loss noise)")
     p.add_argument("--out", default="artifacts/convergence_r3")
     args = p.parse_args(argv)
 
@@ -50,6 +56,9 @@ def main(argv=None):
     cfg = Config()
     cfg = cfg.replace(wavenet=dataclasses.replace(
         cfg.wavenet, compute_dtype="bfloat16", use_fused_train_stack=True))
+    if args.decay_steps is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, wavenet_decay_steps=args.decay_steps))
     hop = cfg.audio.effective_hop
     T = (args.crop // hop) * hop
     B = args.batch
@@ -99,7 +108,8 @@ def main(argv=None):
     # tests/test_wavenet_train.py)
     model = WaveNet(config=cfg)
     T_gen = (int(args.gen_seconds * cfg.audio.sample_rate) // hop) * hop
-    c_gen = batch["c"][:2, : T_gen // hop]
+    n_eval = min(args.n_eval, B)
+    c_gen = batch["c"][:n_eval, : T_gen // hop]
     c_up = model.apply({"params": state.params}, c_gen,
                        method=WaveNet.upsample)
     wavs = np.asarray(fused_incremental_sample(
@@ -107,8 +117,15 @@ def main(argv=None):
         cache_dtype=jnp.bfloat16, weight_dtype=jnp.bfloat16))
     maes, corrs = [], []
     for b in range(wavs.shape[0]):
-        mel_re = np.asarray(host_audio.mel_spectrogram(
-            wavs[b].astype(np.float32), cfg.audio))
+        # the conditioning mels were computed from the PREEMPHASIZED signal
+        # (preprocess.py:74-95) while the model generates the raw-audio
+        # target, so re-extraction must preemphasize first — exactly what the
+        # reference's eval does (wavenet_vocoder/train.py:111-118) and what
+        # capped regen-mel corr at ~0.67 in rounds 3/4 when omitted
+        pre = host_audio.preemphasis(
+            wavs[b].astype(np.float32), cfg.audio.preemphasis,
+            cfg.audio.preemphasize)
+        mel_re = np.asarray(host_audio.mel_spectrogram(pre, cfg.audio))
         mel_ref = np.asarray(c_gen[b])[: mel_re.shape[0]]
         mel_re = mel_re[: mel_ref.shape[0]]
         maes.append(float(np.abs(mel_re - mel_ref).mean()))

@@ -118,9 +118,12 @@ def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
             np.asarray(batch["targets_lengths"]), r)
         return mae, diag, out
 
+    metrics = None
+    steps_done = 0
     for i in range(steps):
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, batch, k)
+        steps_done = i + 1
         if (i + 1) % eval_every == 0 or i == 0 or i == steps - 1:
             mae, diag, _ = evaluate()
             history.append((i + 1, float(metrics["loss"]), mae,
@@ -130,9 +133,11 @@ def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
                     and mae < stop_mae):
                 break
     mae, diag, out = evaluate()
-    report = dict(final_loss=float(metrics["loss"]), final_mel_mae=mae,
+    report = dict(final_loss=(float(metrics["loss"])
+                              if metrics is not None else None),
+                  final_mel_mae=mae,
                   diagonality=diag, mean_diagonality=float(np.mean(diag)),
-                  steps=steps,
+                  steps=steps_done,   # actual trained steps (early stop aware)
                   initial_mel_mae=history[0][2] if history else None,
                   alignments=np.asarray(out.alignments))
     return report, history

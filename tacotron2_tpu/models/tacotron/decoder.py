@@ -265,9 +265,8 @@ class Decoder(nn.Module):
         # On non-TPU backends the interpret-mode kernel runs under shard_map
         # too, so CPU virtual meshes (tests, dryrun_multichip) exercise the
         # same sharded-kernel branch a real multi-chip TPU takes.
-        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
-        ndata = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1) \
-            if not mesh.empty else 1
+        from ...parallel.mesh import current_mesh_and_axis
+        mesh, ndata = current_mesh_and_axis("data")
         if ndata > 1 and B % ndata == 0:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -310,9 +309,6 @@ class Decoder(nn.Module):
         [B, T_in, steps], alignments_emt or None).
         """
         tc = self.config.tacotron
-        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
-        ndata = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1) \
-            if not mesh.empty else 1
         if (tc.use_fused_train_decoder and not self.is_initializing()
                 and not self.config.gst.emt_attn and not tc.smoothing
                 and emt_memory is None

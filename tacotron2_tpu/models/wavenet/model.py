@@ -96,11 +96,8 @@ class WaveNet(nn.Module):
         return g
 
     def _data_axis(self):
-        mesh = jax.interpreters.pxla.thread_resources.env.physical_mesh
-        if mesh.empty:
-            return None, 1
-        n = dict(zip(mesh.axis_names, mesh.shape.values())).get("data", 1)
-        return mesh, n
+        from ...parallel.mesh import current_mesh_and_axis
+        return current_mesh_and_axis("data")
 
     def _use_fused_stack(self, train: bool, c, g) -> bool:
         """Gate for the fused Pallas train-stack kernels

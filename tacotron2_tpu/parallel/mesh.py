@@ -69,6 +69,36 @@ def _pod_environment_detected() -> bool:
     return any(os.environ.get(m) for m in markers)
 
 
+def current_mesh_and_axis(axis: str = "data"):
+    """(active mesh, size of `axis` in it) — (None, 1) when no mesh is active.
+
+    THE single mesh-detection point for model code that picks between the
+    single-device and shard_map'ed fused-kernel branches (ADVICE r3: this
+    lived as three private-API reads scattered through models/). Prefers the
+    public `jax.sharding.get_mesh` (reflects `jax.sharding.set_mesh` /
+    `use_mesh`); falls back to the legacy `with mesh:` context via
+    thread_resources, so a JAX upgrade that drops the private attribute
+    breaks HERE, loudly, in one place.
+    """
+    mesh = None
+    get_mesh = getattr(jax.sharding, "get_mesh", None)
+    if get_mesh is not None:
+        try:
+            m = get_mesh()
+        except ValueError:   # raised inside jit tracing; use legacy context
+            m = None
+        if m is not None and not m.empty and isinstance(m, Mesh):
+            mesh = m
+    if mesh is None:
+        m = jax.interpreters.pxla.thread_resources.env.physical_mesh
+        if not m.empty:
+            mesh = m
+    if mesh is None:
+        return None, 1
+    n = dict(zip(mesh.axis_names, mesh.shape.values())).get(axis, 1)
+    return mesh, n
+
+
 def host_shard_indices(n: int) -> "np.ndarray":
     """This host's deterministic stride-shard of range(n)."""
     return np.arange(jax.process_index(), n, jax.process_count())

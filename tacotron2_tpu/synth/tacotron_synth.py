@@ -180,7 +180,7 @@ class TacotronSynthesizer:
                 and len(set(tc.prenet_layers)) == 1):
             return False
         k = max(tc.fused_block_steps, 1)
-        M = 1024  # memory width estimate; exact width checked at build
+        M = 1024  # pre-embed estimate; _fused_block_synth re-checks real M
         return block_kernel_vmem_bytes(
             self.cfg, batch, t_in_padded, k, M) <= 100 * 1024 * 1024
 
@@ -200,6 +200,15 @@ class TacotronSynthesizer:
             jnp.asarray(input_lengths), jnp.asarray(refs_emt),
             jnp.asarray(refs_spk))
         B, t_in, M = memory.shape
+        # eligibility was gated on an M=1024 estimate before the memory was
+        # built; re-validate with the REAL width and fall back to the scan
+        # block path rather than failing at kernel build (ADVICE r3)
+        from ..ops.tacotron_decoder_kernel import block_kernel_vmem_bytes
+        if block_kernel_vmem_bytes(self.cfg, B, t_in, k, int(M)) \
+                > 100 * 1024 * 1024:
+            return self._scan_block_synth(
+                inputs, input_lengths, refs_emt, refs_spk, steps,
+                max(self.cfg.tacotron.early_stop_block, 1))
         if self._dec_params is None:
             self._dec_params = extract_decoder_params(
                 self.params, self.cfg, emt_only=self.model.emt_only)

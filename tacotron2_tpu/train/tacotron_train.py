@@ -24,6 +24,7 @@ from ..utils import ValueWindow, log
 from ..utils.plot import plot_alignment, plot_spectrogram
 from ..utils.summary import ProfilerHook, SummaryWriter
 from .checkpoint import CheckpointManager, partial_restore
+from .eval_guard import EvalFailureGuard
 from .tacotron_step import TacotronTrainer
 
 LOSS_WINDOWS = ["loss", "before_loss", "after_loss", "stop_token_loss",
@@ -129,6 +130,8 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
     rng = jax.random.PRNGKey(cfg.train.tacotron_random_seed + 1)
     summary = SummaryWriter(log_dir)
     profiler = ProfilerHook(log_dir, profile_start, profile_end)
+    loss_guard = EvalFailureGuard("tacotron eval losses")
+    synth_guard = EvalFailureGuard("tacotron eval synthesis")
 
     start_step = int(state.step)
     for batch in batches:
@@ -177,9 +180,10 @@ def tacotron_train(cfg: Config, input_path: str, log_dir: str, *,
         # leaving eval off rather than dividing by its interval)
         do_eval = eval_interval and step % eval_interval == 0
         if do_eval and step > start_step:
-            _eval_losses(trainer, state, feeder, bs, summary, step)
+            _eval_losses(trainer, state, feeder, bs, summary, step,
+                         guard=loss_guard)
             _eval_synthesis(cfg, trainer, state, first, eval_dir, step,
-                            eval_sentences)
+                            eval_sentences, guard=synth_guard)
         if save_output_vars and (step == start_step + 1 or do_eval):
             _save_output_vars(trainer, state, batch,
                               os.path.join(log_dir, "output_vars"), step)
@@ -227,7 +231,7 @@ def _save_output_vars(trainer, state, batch, out_dir, step):
 
 
 def _eval_losses(trainer, state, feeder, batch_size, summary, step,
-                 max_batches: int = 4):
+                 max_batches: int = 4, guard=None):
     """Teacher-forced losses on the held-out split (reference eval model
     scalars, tacotron/train.py:92-102,602-650)."""
     import jax
@@ -251,12 +255,17 @@ def _eval_losses(trainer, state, feeder, batch_size, summary, step,
             f"before={means.get('before_loss', float('nan')):.5f} "
             f"after={means.get('after_loss', float('nan')):.5f} "
             f"stop={means.get('stop_token_loss', float('nan')):.5f}")
-    except Exception as e:  # eval must never kill training
-        log(f"eval losses failed at step {step}: {e}")
+        if guard is not None:
+            guard.success()
+    except Exception as e:  # transient eval failure must never kill training
+        if guard is not None:   # ... but K-in-a-row raises (eval_guard.py)
+            guard.failure(step, e, log=log)
+        else:
+            log(f"eval losses failed at step {step}: {e}")
 
 
 def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,
-                    sentences=None):
+                    sentences=None, guard=None):
     """Periodic convergence check: synthesize the fixed eval sentence set
     (hparams.py:370-395) with per-sentence wav + alignment + mel plots,
     bucketed by step//500 (reference tacotron/train.py:602-706)."""
@@ -295,5 +304,10 @@ def _eval_synthesis(cfg, trainer, state, sample_batch, eval_dir, step,
                 title=f"step {step} | {texts[i][:40]}")
         log(f"Eval synthesis artifacts written for step {step} "
             f"({len(texts)} sentences)")
-    except Exception as e:  # eval must never kill training
-        log(f"eval synthesis failed at step {step}: {e}")
+        if guard is not None:
+            guard.success()
+    except Exception as e:  # transient eval failure must never kill training
+        if guard is not None:   # ... but K-in-a-row raises (eval_guard.py)
+            guard.failure(step, e, log=log)
+        else:
+            log(f"eval synthesis failed at step {step}: {e}")

@@ -20,6 +20,7 @@ from ..config import Config
 from ..data import audio as host_audio
 from ..data.wavenet_feeder import WaveNetFeeder
 from ..utils import ValueWindow, log
+from .eval_guard import EvalFailureGuard
 from ..utils.plot import plot_spectrogram, waveplot
 from ..utils.summary import ProfilerHook, SummaryWriter
 from .checkpoint import CheckpointManager
@@ -72,6 +73,8 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
     step_fn = jax.jit(trainer.train_step)
     loss_window = ValueWindow(100)
     time_window = ValueWindow(100)
+    loss_guard = EvalFailureGuard("wavenet eval losses")
+    gen_guard = EvalFailureGuard("wavenet eval generation")
     rng = jax.random.PRNGKey(cfg.train.wavenet_random_seed + 1)
     summary = SummaryWriter(log_dir)
     profiler = ProfilerHook(log_dir, profile_start, profile_end)
@@ -108,8 +111,10 @@ def wavenet_train(cfg: Config, input_path: str, log_dir: str, *,
 
         # interval 0/None disables periodic eval
         if eval_interval and step % eval_interval == 0:
-            _eval_losses(trainer, state, feeder, bs, summary, step)
-            _eval_generation(cfg, state, first, eval_dir, step)
+            _eval_losses(trainer, state, feeder, bs, summary, step,
+                         guard=loss_guard)
+            _eval_generation(cfg, state, first, eval_dir, step,
+                             guard=gen_guard)
 
     mgr.save(int(state.step), state)
     log(f"WaveNet training complete at step {int(state.step)}", slack=True)
@@ -143,7 +148,7 @@ def _export_speaker_embeddings(cfg, state, log_dir):
 
 
 def _eval_losses(trainer, state, feeder, batch_size, summary, step,
-                 max_batches: int = 2):
+                 max_batches: int = 2, guard=None):
     """Held-out-split losses (reference wavenet eval scalars, train.py:41-64)."""
     try:
         eval_bs = min(batch_size, max(1, len(feeder.test_meta)))
@@ -157,11 +162,16 @@ def _eval_losses(trainer, state, feeder, batch_size, summary, step,
             acc.append(float(terms["loss"]))
         summary.scalars(step, {"loss": float(np.mean(acc))}, prefix="eval/")
         log(f"Eval step {step}: loss={float(np.mean(acc)):.5f}")
-    except Exception as e:  # eval must never kill training
-        log(f"wavenet eval losses failed at step {step}: {e}")
+        if guard is not None:
+            guard.success()
+    except Exception as e:  # transient eval failure must never kill training
+        if guard is not None:   # ... but K-in-a-row raises (eval_guard.py)
+            guard.failure(step, e, log=log)
+        else:
+            log(f"wavenet eval losses failed at step {step}: {e}")
 
 
-def _eval_generation(cfg, state, batch, eval_dir, step):
+def _eval_generation(cfg, state, batch, eval_dir, step, guard=None):
     """Generate one eval utterance + mel-reconstruction plot (train.py:89-126)."""
     from ..synth.wavenet_synth import WaveNetSynthesizer
 
@@ -190,5 +200,10 @@ def _eval_generation(cfg, state, batch, eval_dir, step):
                          os.path.join(eval_dir, f"step-{step}-mel-comparison.png"),
                          target_spectrogram=mel[:n],
                          title=f"step {step} reconstruction")
-    except Exception as e:  # eval must never kill training
-        log(f"wavenet eval generation failed at step {step}: {e}")
+        if guard is not None:
+            guard.success()
+    except Exception as e:  # transient eval failure must never kill training
+        if guard is not None:   # ... but K-in-a-row raises (eval_guard.py)
+            guard.failure(step, e, log=log)
+        else:
+            log(f"wavenet eval generation failed at step {step}: {e}")

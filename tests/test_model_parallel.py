@@ -189,3 +189,28 @@ def test_maybe_initialize_distributed_env_paths(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
     assert mesh_mod.maybe_initialize_distributed() is True
     assert calls[-1] == {}
+
+
+def test_current_mesh_and_axis_inside_jit():
+    """Centralized mesh detection (ADVICE r3): must work during jit tracing
+    (jax.sharding.get_mesh raises there — regression caught by the r4
+    multiprocess dryrun) and under the legacy `with mesh:` context."""
+    from tacotron2_tpu.parallel.mesh import current_mesh_and_axis
+
+    assert current_mesh_and_axis("data") == (None, 1)
+
+    mesh = make_mesh(MeshConfig(), jax.devices()[:4])
+    seen = {}
+
+    @jax.jit
+    def fn(x):
+        m, n = current_mesh_and_axis("data")
+        seen["n"] = n
+        seen["mesh"] = m
+        return x + 1
+
+    with mesh:
+        m, n = current_mesh_and_axis("data")
+        assert n == 4 and m is mesh
+        fn(jnp.zeros((4,)))
+    assert seen["n"] == 4
