@@ -266,12 +266,14 @@ def bench_vocoder_mol(B=256, chunk=512, hbm_delay_threshold=32, window=8):
                 mol_us_per_step=dt / T * 1e6)
 
 
-def bench_tacotron_decode(cfg, B=48, T_in=256, steps=500, M=1024):
+def bench_tacotron_decode(cfg, B=64, T_in=256, steps=500, M=1024):
     """Fused Pallas autoregressive mel decode (ops/tacotron_decoder_kernel.py)
     at full model size; returns mel audio-seconds/s per chip.
 
-    B=48 is the measured-best batch (10,733 mel audio-s/s vs 8,183 at B=32;
-    B=64 exceeds VMEM at T=256)."""
+    B=64 is the measured-best batch for the r4 kernel (16,083 mel audio-s/s
+    vs 14,071 at B=48; B=96 exceeds VMEM at T=256). The r4 kernel freed the
+    VMEM the r3 [Tp*A, Tp] vmat + [B, B*Tp] smask operands occupied, which
+    is what made B=64 fit (r3 note: B=64 exceeded VMEM)."""
     import jax
     import jax.numpy as jnp
 

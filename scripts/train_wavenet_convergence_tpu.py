@@ -117,14 +117,21 @@ def main(argv=None):
         cache_dtype=jnp.bfloat16, weight_dtype=jnp.bfloat16))
     maes, corrs = [], []
     for b in range(wavs.shape[0]):
-        # the conditioning mels were computed from the PREEMPHASIZED signal
-        # (preprocess.py:74-95) while the model generates the raw-audio
-        # target, so re-extraction must preemphasize first — exactly what the
-        # reference's eval does (wavenet_vocoder/train.py:111-118) and what
-        # capped regen-mel corr at ~0.67 in rounds 3/4 when omitted
+        # the conditioning mels were computed from the PREEMPHASIZED signal,
+        # rescaled by its own peak (preprocess.py:74-95), while the model
+        # generates the raw-audio target — so re-extraction must invert that
+        # chain: preemphasize, renormalize to rescaling_max, then mel.
+        # Omitting the preemphasis capped regen-mel corr at ~0.67 (r3/r4);
+        # omitting the rescale leaves a constant dB offset (MAE ~1.5 at
+        # corr 0.97). The reference's eval handles the gain by min/max
+        # interp-ing the generated mel into the target range
+        # (wavenet_vocoder/train.py:111-118 _interp); renormalizing the
+        # signal is the gain-exact equivalent.
         pre = host_audio.preemphasis(
             wavs[b].astype(np.float32), cfg.audio.preemphasis,
             cfg.audio.preemphasize)
+        if cfg.audio.rescale:
+            pre = pre / max(np.abs(pre).max(), 1e-9) * cfg.audio.rescaling_max
         mel_re = np.asarray(host_audio.mel_spectrogram(pre, cfg.audio))
         mel_ref = np.asarray(c_gen[b])[: mel_re.shape[0]]
         mel_re = mel_re[: mel_ref.shape[0]]

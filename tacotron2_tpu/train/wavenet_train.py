@@ -194,6 +194,12 @@ def _eval_generation(cfg, state, batch, eval_dir, step, guard=None):
         # mel reconstruction comparison (train.py:111-118)
         pre = host_audio.preemphasis(wav, cfg.audio.preemphasis,
                                      cfg.audio.preemphasize)
+        # match the preprocessing chain's normalization of the mel source
+        # signal (preem rescaled by its own peak, preprocess.py:74-95) so
+        # the comparison has no constant gain offset (the reference instead
+        # min/max-interps the generated mel, train.py:111-118)
+        if cfg.audio.rescale:
+            pre = pre / max(np.abs(pre).max(), 1e-9) * cfg.audio.rescaling_max
         mel_rec = host_audio.mel_spectrogram(pre, cfg.audio)
         n = min(len(mel_rec), len(mel))
         plot_spectrogram(mel_rec[:n],

@@ -104,12 +104,18 @@ def tacotron_decode_step(cfg: Config, B: int, T_in: int, M: int = 1024
     prenet = mels * P + P * P
     lstm = (P + M + U) * 4 * U + 2 * U * 4 * U
     att_useful = U * A + tc.attention_kernel * Tp * A + Tp * A + Tp * M
-    att_actual = U * A + Tp * (Tp * A) + (Tp * A) * Tp + B * Tp * M
+    # r4 kernel: energy reduction is a VPU lane reduce (useful work only)
+    # and the context is a batched dot_general (no B-fold block-diagonal);
+    # the only remaining expansion is the banded location-conv matmul,
+    # which at Tp <= 256 is already MXU-minimal (contraction cannot go
+    # below one 128-deep pass)
+    att_actual = U * A + Tp * (Tp * A) + Tp * A + Tp * M
     proj = (U + M) * FO
     useful = 2 * B * (prenet + lstm + att_useful + proj)
     actual = 2 * B * (prenet + lstm + att_actual + proj)
     return dict(flops_per_step=useful, actual_flops_per_step=actual,
-                note="actual = banded-conv expansion + block-diag context")
+                note="actual = banded-conv expansion (energy reduce on VPU, "
+                     "context via batched dot_general since r4)")
 
 
 def griffin_lim_audio_second(cfg: Config) -> Dict:
