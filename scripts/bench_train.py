@@ -57,9 +57,20 @@ def bench_tacotron_train(cfg, B, T_out, steps):
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     step = jax.jit(trainer.train_step)
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(1))
+    lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    # XLA-counted FLOPs of the whole step program (everything EXCEPT the
+    # Pallas custom-call interiors, which XLA cannot see) — replaces the
+    # r3 "3x fwd" heuristic with a measurement (VERDICT r3 item 7)
+    try:
+        ca = compiled.cost_analysis() or {}
+        xla_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    state, m = compiled(state, batch, jax.random.PRNGKey(1))
     float(m["loss"])
     compile_s = time.perf_counter() - t0
+    step = compiled
     # two untimed steps: on the tunneled backend, server-side program
     # residency effects can bleed into the first executions after load
     # (fresh-process runs measured up to 1.5x the steady state without this)
@@ -75,6 +86,7 @@ def bench_tacotron_train(cfg, B, T_out, steps):
     audio_s = B * T_out * hop / sr
     return dict(model="tacotron", batch=B, mel_frames=T_out,
                 ms_per_step=dt * 1e3, audio_s_per_s=audio_s / dt,
+                xla_flops_per_step=xla_flops, t_in=T_in,
                 compile_s=compile_s)
 
 

@@ -134,6 +134,46 @@ def griffin_lim_audio_second(cfg: Config) -> Dict:
                 note=f"{it} iterations, trimmed-window DFT matmuls")
 
 
+def fused_train_decoder_flops(cfg: Config, B: int, T_out: int, T_in: int,
+                              M: int = 1024) -> int:
+    """EXACT matmul-FLOP count of the fused BPTT train decoder
+    (ops/tacotron_train_kernel.py): per-step fwd + data-grad bwd, summed
+    over S = T_out/r steps. Weight gradients are computed OUTSIDE the
+    kernel by XLA from the blocked per-step outputs, so they are already
+    in `cost_analysis()` — this counts only what XLA cannot see (the
+    custom-call interior). Shapes transcribed from the kernel bodies
+    (fwd: train_kernel.py step; bwd: the reverse-grid kernel)."""
+    from ..ops.tacotron_train_kernel import _ctx_group
+
+    tc, au = cfg.tacotron, cfg.audio
+    U, A, P = tc.decoder_lstm_units, tc.attention_dim, tc.prenet_layers[-1]
+    r, mels = tc.outputs_per_step, au.num_mels
+    FO = r * mels + r
+    Tp = ((T_in + 127) // 128) * 128
+    S = T_out // r
+    g = _ctx_group(B)
+    fwd = (mels * P + P * P                 # prenet
+           + (P + M + U) * 4 * U            # LSTM1 (3 split matmuls)
+           + 2 * U * 4 * U                  # LSTM2
+           + U * A                          # wq
+           + Tp * (Tp * A)                  # banded loc conv
+           + (Tp * A) * Tp                  # vmat energy reduction
+           + g * Tp * M                     # grouped block-masked context
+           + (U + M) * FO)                  # frame/stop projection
+    bwd = (FO * U + FO * M                  # dproj -> dout2, dctx
+           + g * Tp * M                     # grouped dalign
+           + U * A + Tp * (Tp * A)          # e2 recompute (wq + band)
+           + (Tp * A) * Tp                  # de2 = denergy @ vmat_t
+           + Tp * (Tp * A)                  # T1 accumulation (contract B)
+           + (Tp * A) * Tp                  # den_rep eyerep matmul
+           + A * U                          # dh2_att
+           + (Tp * A) * Tp                  # dcum = de2 @ band_t
+           + 2 * (4 * U) * U                # LSTM2 dz matmuls
+           + (4 * U) * (P + M + U)          # LSTM1 dz matmuls
+           + P * P + P * mels)              # prenet bwd data grads
+    return 2 * B * S * (fwd + bwd)
+
+
 def tacotron_train_step(cfg: Config, B: int, T_out: int, T_in: int) -> Dict:
     """Teacher-forced train step: encoder convs + BiLSTM + fused decoder
     (fwd+bwd) + postnet, 3x fwd for the bwd-heavy parts."""
