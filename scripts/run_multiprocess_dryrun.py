@@ -47,13 +47,26 @@ def worker_main(args) -> None:
     """Runs inside each spawned process. Env (set by the parent, consumed by
     maybe_initialize_distributed): JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID."""
+    import faulthandler
     import numpy as np
+
+    # periodic thread dumps to the worker log: the multi-controller CPU
+    # path has hung before (futex wait) — make the hang self-diagnosing
+    faulthandler.dump_traceback_later(300, repeat=True)
 
     # win over any TPU plugin sitecustomize: this worker is CPU-only
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the grad-of-shard_map-of-interpret-Pallas
+    # tacotron program costs ~10 min of CPU XLA compile cold; cached reruns
+    # start in seconds
+    cache = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     sys.path.insert(0, REPO)
     from tacotron2_tpu.parallel.mesh import maybe_initialize_distributed
@@ -107,14 +120,28 @@ def worker_main(args) -> None:
     print(f"[worker {pid}] feeder sharded: {len(feeder.train_meta)} rows",
           flush=True)
 
-    # ---- 1. fused-decoder Tacotron train step, DP over all processes ----
+    # ---- 1. FULL Tacotron train step, DP over all processes ----
+    # NOTE: the XLA scan decoder, not the fused Pallas kernel. On this CPU
+    # simulation the kernel runs in interpret mode, whose io_callbacks
+    # deadlock inside a multi-controller program (threads block in
+    # interpret_pallas_call._allocate_buffer -> Array._value while the
+    # main thread waits on the cross-process collective — observed r4,
+    # stack dumps in the worker logs). Real multi-chip TPUs execute the
+    # COMPILED kernel, and its sharded grad path (shard_map + transpose
+    # psum) is covered on the virtual mesh by
+    # tests/test_train_kernel.py::test_sharded_fused_grad_parity; what
+    # this dryrun uniquely adds is the multi-PROCESS leg: jax.distributed
+    # bring-up, the global mesh, cross-process gradient all-reduce, and
+    # per-host data feeding.
     from tacotron2_tpu.train.tacotron_step import TacotronTrainer
 
     cfg = ge._tiny_config()
-    cfg = cfg.replace(tacotron=dataclasses.replace(
-        cfg.tacotron, use_fused_train_decoder=True))
     trainer = TacotronTrainer(cfg)
-    batch = {k: np.asarray(v) for k, v in ge._tiny_batch(B=2 * ndev).items()}
+    # smallest shapes that still exercise the full sharded program: one
+    # batch row per device shard, 4 decode steps (the cold CPU compile of
+    # grad-of-shard_map-of-interpret-Pallas is ~10 min at 2x this size)
+    batch = {k: np.asarray(v)
+             for k, v in ge._tiny_batch(B=ndev, T_out=8).items()}
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     # host-ify before global placement: device_put of committed local arrays
     # onto non-addressable devices is rejected in multi-controller mode
@@ -125,14 +152,16 @@ def worker_main(args) -> None:
         repl = NamedSharding(mesh, P())
         state = jax.device_put(state, repl)
         gb = global_batch(batch, mesh)
+        print(f"[worker {pid}] taco state+batch placed", flush=True)
         step_fn = jax.jit(trainer.train_step, out_shardings=(repl, repl))
         taco = []
         for s in range(args.steps):
             state, metrics = step_fn(state, gb, jax.random.PRNGKey(100 + s))
             taco.append(dict(loss=fetch(metrics["loss"]),
                              grad_norm=fetch(metrics["grad_norm"])))
-        result["tacotron_fused"] = taco
-    print(f"[worker {pid}] tacotron fused steps done: {taco}", flush=True)
+            print(f"[worker {pid}] taco step {s}: {taco[-1]}", flush=True)
+        result["tacotron_dp"] = taco
+    print(f"[worker {pid}] tacotron steps done: {taco}", flush=True)
 
     # ---- 2. WaveNet DP x TP across processes ----
     from tacotron2_tpu.parallel.mesh import make_mesh
@@ -288,7 +317,7 @@ def parent_main(args) -> None:
 
     # loss/grad parity: every worker sees identical replicated metrics, and
     # they match the single-process run over the same global device count
-    for sec in ("tacotron_fused", "wavenet_dp_tp"):
+    for sec in ("tacotron_dp", "wavenet_dp_tp"):
         same = all(w[sec] == workers[0][sec] for w in workers)
         ok &= check(f"{sec}.replicated_agreement", same,
                     "all workers fetched identical replicated metrics")

@@ -231,13 +231,16 @@ class WaveNetConfig:
     sampler_weight_dtype: str = "float32"
     # keep delay lines of dilations above this threshold in HBM with windowed
     # prefetch (build_sampler_kernel_hbm) — frees ~88% of the VMEM cache and
-    # unlocks synthesis batch 128/chip; 0/None disables (all-VMEM kernel)
-    sampler_hbm_delay_threshold: int = 0
+    # unlocks synthesis batch 256/chip; 0/None disables (all-VMEM kernel,
+    # whose [sum(d), B, 2R] delay buffer caps B at ~32 on v5e). Default is
+    # the measured-best production point (r4: the old all-VMEM default made
+    # the production synthesizer OOM at B=256 where the bench config ran)
+    sampler_hbm_delay_threshold: int = 32
     # HBM prefetch window (rows per DMA); shrunk automatically until it
     # divides every HBM-resident dilation with d/W >= 4. The measured best
     # point is B=256, threshold 32, window 8 — 1,404 audio-s/s/chip
     # (scripts/bench_sampler_configs.py)
-    sampler_window: int = 16
+    sampler_window: int = 8
     sampler_chunk: int = 512       # conditioning DMA chunk (samples)
     legacy: bool = True            # sqrt(0.5) skip scaling
     residual_legacy: bool = True   # sqrt(0.5) residual scaling

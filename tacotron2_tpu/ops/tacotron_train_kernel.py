@@ -90,12 +90,6 @@ def _band_selector(K: int, Tp: int):
     return sel.reshape(Tp * Tp, K)
 
 
-@functools.lru_cache(maxsize=8)
-def _eye_rep(Tp: int, A: int):
-    """np constant [Tp*A, Tp]: E[t*A+a, tau] = 1 iff t == tau."""
-    return np.repeat(np.eye(Tp, dtype=np.float32), A, axis=0)
-
-
 def make_band(dp: DecoderParams, Tp: int, dtype):
     """Banded location operand band_a [Tp, Tp*A] (location conv FOLDED with
     the location projection) as one MXU matmul against a cached selector."""
@@ -106,13 +100,6 @@ def make_band(dp: DecoderParams, Tp: int, dtype):
     # [Tp, Tp*A] layout `cum @ band` expects
     return (sel @ wp).reshape(Tp, Tp * A).astype(dtype)
 
-
-def make_vmat(dp: DecoderParams, Tp: int, dtype):
-    """Block-diagonal v_a operand vmat [Tp*A, Tp]."""
-    A = dp.v_a.shape[0]
-    e = jnp.asarray(_eye_rep(Tp, A))                                  # [Tp*A, Tp]
-    return (e * jnp.tile(dp.v_a.astype(jnp.float32), Tp)[:, None]
-            ).astype(dtype)
 
 
 def make_keys2(dp: DecoderParams, keys_padded, dtype):
@@ -161,7 +148,7 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
 
     def kernel(seed_ref, coins_ref,
                teacher_ref,                                   # blocked [1,B,melsp]
-               keys_ref, mem_ref, mask_ref, band_ref, vmat_ref,
+               keys_ref, mem_ref, mask_ref, band_ref, va_ref,
                pre_w0, pre_b0, pre_w1, pre_b1,
                l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
                wq, proj_wo, proj_wc, proj_b,
@@ -255,37 +242,29 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         h2s[:] = h2n
         out2 = h2n
 
-        # ---- location-sensitive attention (three 2-D MXU matmuls)
+        # ---- location-sensitive attention: banded MXU matmul + VPU v_a
+        # lane reduce over the 3-D view (r3's [Tp*A, Tp] vmat matmul cost
+        # Tp x padding FLOPs; VERDICT r3 item 5)
         q = jnp.dot(out2.astype(weight_dtype), wq[:],
                     preferred_element_type=jnp.float32)           # [B, A]
         cum_now = cums[:]
         loc = jnp.dot(cum_now.astype(weight_dtype), band_ref[:],
                       preferred_element_type=jnp.float32)         # [B, Tp*A]
-        q_rep = pltpu.repeat(q, Tp, axis=1)
-        e2 = jnp.tanh(keys_ref[:] + q_rep + loc)
-        energy = jnp.dot(e2.astype(weight_dtype), vmat_ref[:],
-                         preferred_element_type=jnp.float32)      # [B, Tp]
+        e3 = jnp.tanh(keys_ref[:].reshape(B, Tp, A) + q[:, None, :]
+                      + loc.reshape(B, Tp, A))                    # [B, Tp, A]
+        energy = jnp.sum(e3 * va_ref[:].reshape(1, 1, A), axis=-1)
         energy = jnp.where(mask > 0, energy, NEG_INF)
         emax = jnp.max(energy, axis=-1, keepdims=True)
         ex = jnp.exp(energy - emax) * mask
         align = ex / jnp.sum(ex, axis=-1, keepdims=True)
         cums[:] = cum_now + align
 
-        # context as GROUPED block-masked matmuls: g rows at a time against
-        # that group's [g*Tp, M] memory slab — the full-B version wastes B x
-        # the useful FLOPs (3.6 GF/step at B=96 vs 37 MF useful)
-        g = _ctx_group(B)
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 1) // Tp
-        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 0)
-        parts = []
-        for i in range(B // g):
-            a_g = align[i * g:(i + 1) * g]
-            a_rep = pltpu.repeat(a_g, g, axis=1)                  # [g, g*Tp]
-            ablk = jnp.where(col_g == row_g, a_rep, 0.0).astype(weight_dtype)
-            parts.append(jnp.dot(
-                ablk, mem_ref[i * g * Tp:(i + 1) * g * Tp, :],
-                preferred_element_type=jnp.float32))              # [g, M]
-        new_ctx = jnp.concatenate(parts, axis=0)                  # [B, M]
+        # context as a batched dot_general over the 3-D memory — useful
+        # FLOPs only (r3 used g-grouped block-masked matmuls, g x waste)
+        new_ctx = jax.lax.dot_general(
+            align[:, None, :].astype(weight_dtype), mem_ref[:],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]          # [B, M]
         ctxs[:] = new_ctx
 
         # ---- fused frame+stop projection (LOGITS for training)
@@ -363,9 +342,9 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
             mask = jnp.ones((B, T_in), bool)
         mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
         band_a = make_band(dp, Tp, wd)
-        vmat = make_vmat(dp, Tp, wd)
+        va_row = dp.v_a.astype(jnp.float32).reshape(1, A)
         keys2 = make_keys2(dp, keys, jnp.float32)
-        mem2 = memory.reshape(B * Tp, M).astype(wd)
+        mem3 = memory.astype(wd)                       # [B, Tp, M]
         teacher = _pad_lanes(teacher.astype(jnp.float32))
         weights = (
             dp.pre_w0.astype(wd), dp.pre_b0.astype(jnp.float32),
@@ -380,7 +359,7 @@ def build_train_fwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
             _pad_lanes(dp.proj_b.astype(jnp.float32)))
         outs = call(jnp.asarray([seed], jnp.int32),
                     coins.astype(jnp.int32),
-                    teacher, keys2, mem2, mask, band_a, vmat, *weights)
+                    teacher, keys2, mem3, mask, band_a, va_row, *weights)
         return dict(zip(names, outs))
 
     return run
@@ -421,8 +400,8 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
                z1_res, z2_res, h0d_res, hpre_res, h2_res,
                c1_prev_res, c2_prev_res,
                # constant operands
-               keys_ref, memt_ref, band_ref, band_t_ref, vmat_t_ref,
-               eyerep_t_ref, wq, wq_t,
+               keys_ref, mem3_ref, band_ref, band_t_ref, va_ref,
+               wq, wq_t,
                l1_wpT, l1_wcT, l1_whT, l2_wxT, l2_whT,
                pre_w0T, pre_w1T, proj_woT, proj_wcT,
                # blocked outputs
@@ -437,7 +416,7 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         def _init():
             dkeys_ref[:] = jnp.zeros((B, Tp * A), jnp.float32)
             t1_ref[:] = jnp.zeros((Tp, Tp * A), jnp.float32)
-            dv_ref[:] = jnp.zeros((8, Tp * A), jnp.float32)
+            dv_ref[:] = jnp.zeros((Tp, A), jnp.float32)
             dh1[:] = jnp.zeros((B, U), jnp.float32)
             dc1[:] = jnp.zeros((B, U), jnp.float32)
             dh2[:] = jnp.zeros((B, U), jnp.float32)
@@ -471,24 +450,13 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         dctx_ref[0] = dctx_t.astype(dctx_ref.dtype)
 
         # ---- attention backward
-        # dalign from context: per-row contraction vs memory, via the
-        # block-masked full matmul + a B-block fold
-        # dalign = per-row contraction of dctx against memory, as GROUPED
-        # (m,k)x(n,k) dot_generals over the group's memory slab (no XLA
-        # transpose, B/g x less FLOP waste than the full-B block matmul)
-        g = _ctx_group(B)
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 1) // Tp
-        row_g = jax.lax.broadcasted_iota(jnp.int32, (g, g * Tp), 0)
-        dparts = []
-        for i in range(B // g):
-            dablk = jax.lax.dot_general(
-                dctx_t[i * g:(i + 1) * g].astype(weight_dtype),
-                memt_ref[i * g * Tp:(i + 1) * g * Tp, :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [g, g*Tp]
-            masked = jnp.where(col_g == row_g, dablk, 0.0)
-            dparts.append(jnp.sum(masked.reshape(g, g, Tp), axis=1))
-        dalign = jnp.concatenate(dparts, axis=0)               # [B, Tp]
+        # dalign[b,t] = sum_m dctx[b,m] * mem[b,t,m]: a batched NT
+        # dot_general over the 3-D memory — useful FLOPs only (r3 used
+        # g-grouped block-masked matmuls, g x waste; probed on v5e, r4)
+        dalign = jax.lax.dot_general(
+            dctx_t[:, None, :].astype(weight_dtype), mem3_ref[:],
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]       # [B, Tp]
         dalign = dalign + dalign_up_ref[0] + dcum_c[:]
 
         align = align_ref[0]                                   # [B, Tp] f32
@@ -496,16 +464,18 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         denergy = align * (dalign - dots)
 
         # e2 recompute (the only non-saved intermediate: [B, Tp*A]/step is
-        # too large to stream; recompute costs one fwd-loc matmul)
+        # too large to stream; recompute costs one fwd-loc matmul). The
+        # energy-grad fan-out denergy -> de2 is a pure broadcast times v_a
+        # (r3 spent a [Tp, Tp*A] vmat_t matmul on it — Tp x padding FLOPs)
         q = jnp.dot(h2_res[0].astype(weight_dtype), wq[:],
                     preferred_element_type=jnp.float32)
         loc = jnp.dot(cum_ref[0].astype(weight_dtype), band_ref[:],
                       preferred_element_type=jnp.float32)
-        e2 = jnp.tanh(keys_ref[:].astype(jnp.float32)
-                      + pltpu.repeat(q, Tp, axis=1) + loc)
-        de2 = (jnp.dot(denergy.astype(weight_dtype), vmat_t_ref[:],
-                       preferred_element_type=jnp.float32)
-               * (1.0 - e2 * e2))                              # [B, Tp*A]
+        e3 = jnp.tanh(keys_ref[:].astype(jnp.float32).reshape(B, Tp, A)
+                      + q[:, None, :] + loc.reshape(B, Tp, A))
+        de3 = (denergy[:, :, None] * va_ref[:].reshape(1, 1, A)
+               * (1.0 - e3 * e3))                              # [B, Tp, A]
+        de2 = de3.reshape(B, Tp * A)
         dkeys_ref[:] += de2
 
         # ---- attention-parameter accumulators (in-VMEM across the grid;
@@ -520,11 +490,11 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
             cum_ref[0].astype(weight_dtype), de2.astype(weight_dtype),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [Tp, Tp*A]
-        den_rep = jnp.dot(denergy.astype(weight_dtype), eyerep_t_ref[:],
-                          preferred_element_type=jnp.float32)  # [B, Tp*A]
-        dv_ref[:] += jnp.broadcast_to(
-            jnp.sum(e2 * den_rep, axis=0, keepdims=True), (8, Tp * A))
-        dq = jnp.sum(de2.reshape(B, Tp, A), axis=1)            # [B, A]
+        # dv[t,a] += sum_b e2[b,t,a] * denergy[b,t]: an elementwise
+        # broadcast + batch reduce (r3 broadcast denergy across A lanes
+        # with an eyerep matmul first)
+        dv_ref[:] += jnp.sum(e3 * denergy[:, :, None], axis=0)  # [Tp, A]
+        dq = jnp.sum(de3, axis=1)                               # [B, A]
         dq_ref[0] = dq.astype(dq_ref.dtype)
         dh2_att = jnp.dot(dq.astype(weight_dtype), wq_t[:],
                           preferred_element_type=jnp.float32)  # [B, U]
@@ -613,14 +583,14 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
     in_specs = ([rev(B, FOp), rev(B, Tp), rev(B, Tp), rev(B, Tp),
                  rev(B, 4 * U), rev(B, 4 * U), rev(B, P), rev(B, P),
                  rev(B, U), rev_prev(B, U), rev_prev(B, U)]
-                + [const] * 17)
+                + [const] * 16)
     # dkeys2/t1/dv are accumulated ACROSS steps in VMEM (constant-index
     # outputs: Pallas flushes them once at grid end) — together with the
     # per-step dq they carry everything the XLA attention-param pass needs,
     # so no [S,B,Tp*A]-sized tensor (e2/de2, ~630 MB at B=96/S=200) ever
     # touches HBM
     accum_shapes = {"dkeys2": (B, Tp * A), "t1": (Tp, Tp * A),
-                    "dv": (8, Tp * A)}
+                    "dv": (Tp, A)}
     out_shapes = dict(
         dz1=((S, B, 4 * U), res_dt), dz2=((S, B, 4 * U), res_dt),
         da0=((S, B, P), res_dt), da1=((S, B, P), res_dt),
@@ -628,7 +598,7 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         dq=((S, B, A), res_dt),
         dkeys2=((B, Tp * A), jnp.float32),
         t1=((Tp, Tp * A), jnp.float32),
-        dv=((8, Tp * A), jnp.float32))
+        dv=((Tp, A), jnp.float32))
     names = list(out_shapes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -666,13 +636,10 @@ def build_train_bwd(cfg: Config, B: int, T_in: int, steps: int, M: int, *,
         wd = weight_dtype
         band_a = make_band(dp, Tp, wd)
         band_t = band_a.T.astype(wd)
-        vmat_t = make_vmat(dp, Tp, wd).T.astype(wd)
-        # R[tau, t*A+a] = 1 iff t == tau — `den @ R` broadcasts the energy
-        # grad across the A lanes of each t block (for the dv accumulator)
-        eyerep_t = jnp.asarray(_eye_rep(Tp, A).T).astype(wd)
-        memt = memory_padded.reshape(B * Tp, M).astype(wd)     # [B*Tp, M]
+        va_row = dp.v_a.astype(jnp.float32).reshape(1, A)
+        mem3 = memory_padded.astype(wd)                        # [B, Tp, M]
         weights = (
-            res["keys2"], memt, band_a, band_t, vmat_t, eyerep_t,
+            res["keys2"], mem3, band_a, band_t, va_row,
             dp.wq.astype(wd), dp.wq.T.astype(wd),
             dp.l1_wp.T.astype(wd), dp.l1_wc.T.astype(wd), dp.l1_wh.T.astype(wd),
             dp.l2_wx.T.astype(wd), dp.l2_wh.T.astype(wd),
@@ -766,7 +733,7 @@ def weight_grads(cfg: Config, dp: DecoderParams, res: dict, bwd: dict,
     d_wq = ein("sbu,sba->ua", res["h2"], bwd["dq"])
 
     t1 = bwd["t1"].reshape(Tp, Tp, A)                         # [u, t, a]
-    d_v_a = bwd["dv"][0].reshape(Tp, A).sum(0)
+    d_v_a = bwd["dv"].sum(0)                                  # dv is [Tp, A]
     # d_wloc[f,a] = sum_{u,t} bandF[u,t,f] * t1[u,t,a]
     #   where bandF[u, t*F+f] = sum_k sel[u*Tp+t, k] loc_k[k, f] is the
     #   Toeplitz expansion of the location conv (f = cum @ bandF)
