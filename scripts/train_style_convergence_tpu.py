@@ -55,7 +55,10 @@ def main(argv=None):
             cfg.tacotron, use_fused_train_decoder=True,
             compute_dtype="bfloat16"),
         train=dataclasses.replace(
-            cfg.train, tacotron_batch_size=args.batch, tacotron_test_size=8))
+            # the feeder rounds the held-out split DOWN to a multiple of the
+            # train batch size (feeder.py:52), so hold out one full batch
+            cfg.train, tacotron_batch_size=args.batch,
+            tacotron_test_size=args.batch))
     assert cfg.gst.use_gst and cfg.gst.use_style_emb_disc
 
     tmp = tempfile.mkdtemp(prefix="style_conv_")
