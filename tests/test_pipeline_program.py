@@ -1,0 +1,191 @@
+"""Single-program text→wav pipeline (synth/pipeline.py) on CPU interpret.
+
+Verifies the one-XLA-program serving chain (memory → fused decode kernel →
+postnet → silence masking / [0,1] interp → upsample → fused sampler) against
+an independently composed per-stage reference: the flax scan decoder
+(Decoder.autoregressive) plus numpy glue mirroring the WaveNet feeder's
+conditioning prep, plus the XLA-scan incremental sampler. Noise and dropout
+are suppressed so both chains are deterministic (sampler log-scale pinned to
+−30 → sample = mean; the interpret-mode stop path is pinned by bias).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.models.tacotron.decoder import Decoder
+from tacotron2_tpu.models.tacotron.model import Tacotron
+from tacotron2_tpu.models.wavenet.model import WaveNet
+from tacotron2_tpu.models.wavenet.sampler import incremental_sample
+from tacotron2_tpu.synth.pipeline import TextToWavProgram
+
+B, T_IN, T_REF, STEPS = 4, 24, 16, 6
+MELS = 20
+
+
+def _cfg() -> Config:
+    cfg = Config()
+    return cfg.replace(
+        tacotron=dataclasses.replace(
+            cfg.tacotron, embedding_dim=32, enc_conv_num_layers=2,
+            enc_conv_channels=32, enc_conv_kernel_size=3,
+            encoder_lstm_units=16, attention_dim=16, attention_filters=8,
+            attention_kernel=7, prenet_layers=(16, 16),
+            decoder_lstm_units=32, postnet_num_layers=2, postnet_channels=32,
+            postnet_kernel_size=3, outputs_per_step=2, dropout_rate=0.0,
+            fused_decoder_dtype="float32"),
+        gst=dataclasses.replace(
+            cfg.gst, num_gst=4, num_heads=2, style_embed_depth=8,
+            style_att_dim=8, reference_filters=(4, 4), reference_depth=8,
+            n_emt=4, n_spk=3),
+        audio=dataclasses.replace(cfg.audio, num_mels=MELS, hop_size=4),
+        wavenet=dataclasses.replace(
+            cfg.wavenet, layers=4, stacks=2, residual_channels=128,
+            gate_channels=256, skip_out_channels=128, upsample_scales=(2, 2),
+            cin_channels=MELS, sampler_chunk=16),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.integers(2, 60, (B, T_IN)), jnp.int32)
+    lengths = jnp.asarray([T_IN, T_IN - 3, T_IN - 7, 12], jnp.int32)
+    refs = jnp.asarray(rng.uniform(-4, 4, (B, T_REF, MELS)), jnp.float32)
+
+    taco = Tacotron(config=cfg)
+    tvars = taco.init(
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+             zoneout=jax.random.PRNGKey(2),
+             teacher_forcing=jax.random.PRNGKey(3)),
+        inputs, lengths, ref_mel_emt=refs, ref_mel_spk=refs,
+        synthesis=True, max_steps=STEPS, train=False)
+    tparams, tstats = tvars["params"], tvars.get("batch_stats", {})
+    # pin the stop projection OFF so lengths are deterministic (random-init
+    # stop probs hover at sigmoid(0)=0.5, exactly on the threshold)
+    sp = tparams["decoder"]["cell"]["stop_projection"]["Dense_0"]
+    sp["bias"] = jnp.full_like(sp["bias"], -30.0)
+
+    wn = WaveNet(config=cfg)
+    hop = cfg.audio.effective_hop
+    frames = STEPS * cfg.tacotron.outputs_per_step
+    wvars = wn.init(
+        dict(params=jax.random.PRNGKey(4), dropout=jax.random.PRNGKey(5)),
+        jnp.zeros((1, frames * hop, 1)),
+        jnp.zeros((1, frames, MELS)), train=False)
+    wparams = wvars["params"]
+    # suppress sampling noise: log-scale channel pinned to -30
+    fc2 = wparams["final_convolution_2"]["Dense_0"]
+    wparams["final_convolution_2"]["Dense_0"] = {
+        "bias": fc2["bias"].at[1].set(-30.0),
+        "kernel": fc2["kernel"].at[:, 1].set(0.0)}
+
+    prog = TextToWavProgram(cfg, tparams, tstats, wparams,
+                            batch=B, steps=STEPS, t_in=T_IN, t_ref=T_REF,
+                            taco_chunk=2, upsample_chunk=2, interpret=True)
+    return cfg, tparams, tstats, wparams, prog, inputs, lengths, refs
+
+
+def _reference_chain(cfg, tparams, tstats, wparams, prog, inputs, lengths,
+                     refs):
+    """Per-stage chain: scan decoder + numpy glue + XLA scan sampler."""
+    au = cfg.audio
+    r = cfg.tacotron.outputs_per_step
+    keys, memory, mask, _, _ = prog._memory_fn(
+        tparams, tstats, inputs, lengths, refs, refs)
+    dec = Decoder(config=cfg)
+    frames, stops, _, _ = dec.apply(
+        {"params": tparams["decoder"]}, B, STEPS, keys, memory, mask,
+        method=Decoder.autoregressive,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+    _, mel = prog._postnet_fn(tparams, tstats, frames)
+    mel = np.asarray(mel)
+    stops = np.asarray(stops)
+
+    # host glue mirroring the program: length recovery, silence mask, interp
+    n_frames = STEPS * r
+    fired = stops >= 0.5
+    first = fired.argmax(axis=1)
+    mel_len = np.where(fired.any(axis=1), first, n_frames)
+    mel_len = np.maximum(mel_len, r)
+    lo = -au.max_abs_value if au.symmetric_mels else 0.0
+    pad_val = lo if au.signal_normalization else \
+        (au.min_level_db - au.ref_level_db)
+    idx = np.arange(n_frames)[None, :, None]
+    mel = np.where(idx < mel_len[:, None, None], mel, pad_val)
+    c = np.clip(mel, lo, au.max_abs_value) if au.clip_for_wavenet else mel
+    if au.normalize_for_wavenet:
+        c = (c - lo) / (au.max_abs_value - lo)
+
+    wn = WaveNet(config=cfg)
+    c_up = wn.apply({"params": wparams}, jnp.asarray(c),
+                    method=WaveNet.upsample)
+    samples, _ = incremental_sample(wparams, cfg, c_up,
+                                    jax.random.PRNGKey(9))
+    return np.asarray(samples), mel, mel_len
+
+
+def test_program_matches_per_stage_chain(setup):
+    cfg, tparams, tstats, wparams, prog, inputs, lengths, refs = setup
+    samples, wav_len, mel, stops, mel_len = prog(inputs, lengths, refs, refs)
+    s_ref, mel_ref, len_ref = _reference_chain(
+        cfg, tparams, tstats, wparams, prog, inputs, lengths, refs)
+
+    np.testing.assert_array_equal(np.asarray(mel_len), len_ref)
+    np.testing.assert_array_equal(np.asarray(wav_len),
+                                  len_ref * cfg.audio.effective_hop)
+    np.testing.assert_allclose(np.asarray(mel), mel_ref,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(samples), s_ref,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_program_shapes_and_finiteness(setup):
+    cfg, _, _, _, prog, inputs, lengths, refs = setup
+    samples, wav_len, mel, stops, mel_len = prog(inputs, lengths, refs, refs)
+    hop = cfg.audio.effective_hop
+    n_frames = STEPS * cfg.tacotron.outputs_per_step
+    assert samples.shape == (B, n_frames * hop)
+    assert mel.shape == (B, n_frames, MELS)
+    assert stops.shape == (B, n_frames)
+    assert np.isfinite(np.asarray(samples)).all()
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_early_stop_masks_tail(setup):
+    """Stop bias +30 → every stream stops at frame 0: mel_len clamps to r,
+    the mel tail reads the silence pad, and wav lengths are r*hop."""
+    cfg, tparams, tstats, wparams, prog, inputs, lengths, refs = setup
+    import copy
+    t2 = copy.deepcopy(jax.device_get(tparams))
+    sp = t2["decoder"]["cell"]["stop_projection"]["Dense_0"]
+    sp["bias"] = np.full_like(np.asarray(sp["bias"]), 30.0)
+    r = cfg.tacotron.outputs_per_step
+    # stops come from the kernel's projection: re-extract with the new bias
+    from tacotron2_tpu.ops.tacotron_decoder_kernel import \
+        extract_decoder_params
+    dp2 = extract_decoder_params(t2, cfg)
+    samples, wav_len, mel, stops, mel_len = prog._jit_run(
+        t2, tstats, dp2, wparams, prog._sampler_params,
+        inputs, lengths, refs, refs, jnp.asarray(99, jnp.int32))
+    assert (np.asarray(mel_len) == r).all()
+    assert (np.asarray(wav_len) == r * cfg.audio.effective_hop).all()
+    lo = -cfg.audio.max_abs_value
+    np.testing.assert_allclose(np.asarray(mel)[:, r:], lo, atol=1e-6)
+
+
+def test_synthesize_wrapper_trims(setup):
+    cfg, _, _, _, prog, _, _, refs = setup
+    texts = ["hello there.", "a b c d e.", "ok.", "longer sentence here."]
+    ref_list = [np.asarray(refs[i]) for i in range(B)]
+    wavs = prog.synthesize(texts, ref_list, ref_list)
+    assert len(wavs) == B
+    for w in wavs:
+        assert w.ndim == 1 and len(w) >= 1
+        assert np.isfinite(w).all()
