@@ -601,8 +601,13 @@ def bench_pipeline(cfg, n_utts=256, taco_batch=64, steps=108):
     one_pass()                      # compile + program-load warmup
     # the tunneled backend's program-residency effects are erratic
     # (server-side eviction between passes was measured to inflate one
-    # stage 7x); report the best of 3 passes with all pass times
-    passes = [one_pass() for _ in range(3)]
+    # stage 7x); report the best of 3 passes with all pass times.
+    # Budget-adaptive: on a tight run (cold program loads ate the budget)
+    # drop to 2 passes and skip the steady re-measure so the training
+    # section still gets its slot — the decomposition is documented from
+    # prior full runs and PARITY; the chained headline always lands.
+    tight = _remaining() < 300
+    passes = [one_pass() for _ in range(2 if tight else 3)]
     samples, lengths, stage = min(passes, key=lambda p_: p_[2]["total_s"])
     hop_ = cfg.audio.effective_hop
     audio_s = sum(lengths) * hop_ / sr
@@ -615,13 +620,14 @@ def bench_pipeline(cfg, n_utts=256, taco_batch=64, steps=108):
     # above includes it; this shows what the same chain does with
     # resident programs.
     steady = {}
-    for name, fn in (("tacotron", lambda: _taco_stage()),
-                     ("wavenet", lambda: _wavenet_stage())):
-        fn()
-        t0 = time.perf_counter()
-        fn()
-        steady[name] = time.perf_counter() - t0
-    steady_total = steady["tacotron"] + steady["wavenet"]
+    if not tight and _remaining() > 200:
+        for name, fn in (("tacotron", lambda: _taco_stage()),
+                         ("wavenet", lambda: _wavenet_stage())):
+            fn()
+            t0 = time.perf_counter()
+            fn()
+            steady[name] = time.perf_counter() - t0
+    steady_total = sum(steady.values()) or None
     t0 = time.perf_counter()
     wav_host = np.asarray(samples)              # full [B, T] wav readback
     readback_s = time.perf_counter() - t0
@@ -667,9 +673,10 @@ def bench_pipeline(cfg, n_utts=256, taco_batch=64, steps=108):
         host_readback_s=round(readback_s, 3),
         host_readback_mb=round(wav_host.nbytes / 1e6, 1),
         pass_total_s=[round(p_[2]["total_s"], 2) for p_ in passes],
-        steady_tacotron_s=round(steady["tacotron"], 3),
-        steady_wavenet_s=round(steady["wavenet"], 3),
-        steady_audio_s_per_s=round(audio_s / steady_total, 1),
+        **({"steady_tacotron_s": round(steady["tacotron"], 3),
+            "steady_wavenet_s": round(steady["wavenet"], 3),
+            "steady_audio_s_per_s": round(audio_s / steady_total, 1)}
+           if steady else {"steady_skipped": "budget"}),
         with_readback_audio_s_per_s=round(
             audio_s / (stage["total_s"] + readback_s), 1))
 

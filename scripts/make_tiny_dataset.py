@@ -50,13 +50,15 @@ def synth_wav(rng, sr, spk: int, emt: int, dur: float) -> np.ndarray:
 ALIGN_CHARS = "abcdefghij"
 
 
-def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11):
+def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11,
+                          write_audio=False):
     """Corpus where the TEXT determines the AUDIO: each character renders as
     a distinct tone segment (char i -> 220*2^(i/6) Hz), so a correctly
     trained attention must form a monotonic text-to-frame diagonal. Wavs go
     through the REAL preprocessing path (preemphasis/rescale/mel/normalize;
     trim disabled so the char->frame map stays exact). Returns
-    (rows, audio_cfg) — rows are real train.txt tuples."""
+    (rows, audio_cfg) — rows are real train.txt tuples. write_audio also
+    emits hop-aligned waveform targets (audio-N.npy) for vocoder training."""
     import dataclasses
 
     from scipy.io import wavfile
@@ -69,8 +71,11 @@ def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11):
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(out_dir, "wavs")
     mel_dir = os.path.join(out_dir, "mels")
+    aud_dir = os.path.join(out_dir, "audio") if write_audio else None
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(mel_dir, exist_ok=True)
+    if aud_dir:
+        os.makedirs(aud_dir, exist_ok=True)
 
     rows = []
     for i in range(n):
@@ -88,7 +93,7 @@ def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11):
         wavfile.write(path, sr, np.round(wav * 32767).astype(np.int16))
         spec = UtteranceSpec(audio_path=path, text=text, emt_label=0,
                              spk_label=0, sex="f", dataset="emt4", index=i)
-        row = process_utterance(spec, acfg, mel_dir)
+        row = process_utterance(spec, acfg, mel_dir, audio_dir=aud_dir)
         assert row is not None
         rows.append(row)
     return rows, acfg, mel_dir

@@ -94,8 +94,10 @@ def masked_mel_mae(mel_out: np.ndarray, batch: Dict) -> float:
 
 def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
             eval_every: int = 50, stop_diag: float = None,
-            stop_mae: float = None) -> Tuple[Dict, list]:
-    """Train on one batch for `steps`; returns (final_report, history).
+            stop_mae: float = None, return_state: bool = False):
+    """Train on one batch for `steps`; returns (final_report, history)
+    — or (report, history, trained_state) with return_state, so callers
+    can continue the pipeline (GTA synthesis, free-running synthesis).
 
     history entries: (step, loss, mel_mae, mean_diagonality). With
     stop_diag/stop_mae set, stops early once BOTH bars are met at an eval
@@ -140,4 +142,6 @@ def overfit(cfg: Config, batch: Dict, steps: int, *, seed: int = 0,
                   steps=steps_done,   # actual trained steps (early stop aware)
                   initial_mel_mae=history[0][2] if history else None,
                   alignments=np.asarray(out.alignments))
+    if return_state:
+        return report, history, state
     return report, history

@@ -138,6 +138,7 @@ class TextToWavProgram:
 
         self._seed = 0
         self._jit_run = jax.jit(self._forward)
+        self._sharded_cache = {}
 
     # ------------------------------------------------------------ stage fns
 
@@ -227,18 +228,55 @@ class TextToWavProgram:
             jnp.asarray(refs_emt), jnp.asarray(refs_spk),
             jnp.asarray(self._seed, jnp.int32))
 
+    def sharded_call(self, mesh, inputs, input_lengths, refs_emt, refs_spk,
+                     axis: str = "data"):
+        """Multi-chip serving: shard the global batch over `axis` — each
+        device runs the FULL single-chip program on its local shard with a
+        decorrelated sampler seed. Zero per-step communication (the same
+        rationale as `sharded_incremental_sample`: model-sharding the
+        sampler would put an ICI collective inside every ~62 µs sample
+        step; batch-sharding needs none). The program must be built with
+        `batch` = the PER-DEVICE batch; global inputs carry
+        mesh.shape[axis] × batch rows."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = mesh.shape[axis]
+        assert inputs.shape[0] == n * self.batch, \
+            f"global batch {inputs.shape[0]} != {n} devices × {self.batch}"
+        self._seed += self.n_chunks * n
+
+        fn = self._sharded_cache.get((mesh, axis))
+        if fn is None:
+            def local(tp, bs, dp, wp, sp, i, il, re, rs, seed):
+                shard = jax.lax.axis_index(axis)
+                return self._forward(tp, bs, dp, wp, sp, i, il, re, rs,
+                                     seed + shard * self.n_chunks)
+
+            rep = P()
+            fn = jax.jit(shard_map(
+                local, mesh=mesh,
+                in_specs=(rep, rep, rep, rep, rep,
+                          P(axis), P(axis), P(axis), P(axis), rep),
+                out_specs=(P(axis),) * 5, check_rep=False))
+            self._sharded_cache[(mesh, axis)] = fn
+        return fn(
+            self._taco_params, self._batch_stats, self._dec_params,
+            self._wn_params, self._sampler_params,
+            jnp.asarray(inputs), jnp.asarray(input_lengths),
+            jnp.asarray(refs_emt), jnp.asarray(refs_spk),
+            jnp.asarray(self._seed, jnp.int32))
+
     def synthesize(self, texts, ref_mels_emt, ref_mels_spk):
         """Convenience host wrapper: texts/refs → list of trimmed wavs."""
-        from .tacotron_synth import TacotronSynthesizer
-        helper = TacotronSynthesizer.__new__(TacotronSynthesizer)
-        helper.cfg = self.cfg
-        inputs, lengths = helper.prepare_inputs(texts,
-                                                pad_multiple=self.t_in)
-        assert inputs.shape[1] <= self.t_in, \
+        from ..text import text_to_sequence
+        seqs = [np.asarray(text_to_sequence(t, self.cfg.data.cleaners),
+                           np.int32) for t in texts]
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        assert int(lengths.max()) <= self.t_in, \
             f"text longer than the program's t_in={self.t_in} bucket"
-        if inputs.shape[1] < self.t_in:
-            inputs = np.pad(inputs,
-                            ((0, 0), (0, self.t_in - inputs.shape[1])))
+        inputs = np.stack([np.pad(s, (0, self.t_in - len(s)))
+                           for s in seqs])
         pad_val = -self.cfg.audio.max_abs_value
         refs_e = np.stack([
             np.pad(m, ((0, self.t_ref - len(m)), (0, 0)),

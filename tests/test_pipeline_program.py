@@ -189,3 +189,35 @@ def test_synthesize_wrapper_trims(setup):
     for w in wavs:
         assert w.ndim == 1 and len(w) >= 1
         assert np.isfinite(w).all()
+
+
+def test_sharded_program_matches_single_device(setup):
+    """shard_map over the data axis: each device runs the full program on
+    its shard; outputs equal the single-device program on the same rows
+    (noise suppressed, dropout 0 -> seed decorrelation is a no-op)."""
+    from jax.sharding import Mesh
+
+    cfg, tparams, tstats, wparams, prog, inputs, lengths, refs = setup
+    n = 2
+    mesh = Mesh(np.array(jax.devices("cpu")[:n]).reshape(n), ("data",))
+    g_inputs = jnp.concatenate([inputs, inputs[::-1]], axis=0)
+    g_lengths = jnp.concatenate([lengths, lengths[::-1]], axis=0)
+    g_refs = jnp.concatenate([refs, refs[::-1]], axis=0)
+
+    s_sh, wl_sh, mel_sh, stops_sh, ml_sh = prog.sharded_call(
+        mesh, g_inputs, g_lengths, g_refs, g_refs)
+
+    outs = []
+    for i in range(2):
+        sl = slice(i * B, (i + 1) * B)
+        outs.append(prog(g_inputs[sl], g_lengths[sl], g_refs[sl],
+                         g_refs[sl]))
+    s_ref = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+    wl_ref = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+    mel_ref = np.concatenate([np.asarray(o[2]) for o in outs], axis=0)
+
+    np.testing.assert_array_equal(np.asarray(wl_sh), wl_ref)
+    np.testing.assert_allclose(np.asarray(mel_sh), mel_ref,
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sh), s_ref,
+                               atol=1e-4, rtol=1e-3)
