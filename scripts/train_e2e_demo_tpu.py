@@ -154,7 +154,7 @@ def main(argv=None):
     wn_synth = WaveNetSynthesizer(cfg, jax.device_get(wn_state.params))
     wavs = wn_synth.synthesize(free_mels)
 
-    maes, corrs = [], []
+    maes, corrs, voc_corrs, taco_corrs = [], [], [], []
     for i, wav in enumerate(wavs):
         pre = host_audio.preemphasis(
             wav.astype(np.float32), cfg.audio.preemphasis,
@@ -167,6 +167,17 @@ def main(argv=None):
         maes.append(float(np.abs(mel_re - mel_gt).mean()))
         corrs.append(float(np.corrcoef(mel_re.ravel(),
                                        mel_gt.ravel())[0, 1]))
+        # error decomposition: vocoder fidelity (wav mel vs its ACTUAL
+        # conditioning, the free-run taco mel) and taco fidelity (free-run
+        # mel vs ground truth) — separates which stage loses quality
+        Lv = min(len(mel_re), len(free_mels[i]))
+        voc_corrs.append(float(np.corrcoef(
+            mel_re[:Lv].ravel(),
+            np.asarray(free_mels[i])[:Lv].ravel())[0, 1]))
+        Lt = min(len(free_mels[i]), len(gt_mels[i]))
+        taco_corrs.append(float(np.corrcoef(
+            np.asarray(free_mels[i])[:Lt].ravel(),
+            np.asarray(gt_mels[i])[:Lt].ravel())[0, 1]))
         if i < 3:
             host_audio.save_wav(wav, os.path.join(args.out,
                                                   f"demo_{i}.wav"),
@@ -190,6 +201,8 @@ def main(argv=None):
         free_run_lengths=lengths,
         text_to_wav_mel_mae=[round(m, 3) for m in maes],
         text_to_wav_mel_corr=[round(c_, 3) for c_ in corrs],
+        vocoder_fidelity_corr=[round(c_, 3) for c_ in voc_corrs],
+        taco_freerun_corr=[round(c_, 3) for c_ in taco_corrs],
         wall_s=round(time.time() - t_start, 1),
         device=str(jax.devices()[0]))
     with open(os.path.join(args.out, "report.json"), "w") as f:
