@@ -554,6 +554,24 @@ def bench_pipeline(cfg, n_utts=256, taco_batch=64, steps=108):
         # the chained passes below, the serving headline still lands
         _state["detail"]["pipeline_fused_program_audio_s_per_s"] = \
             fused_prog["fused_program_audio_s_per_s"]
+        if _remaining() > 150:
+            # Griffin-Lim single-program route (vocoder-free default)
+            prog_gl = TextToWavProgram(
+                cfg, params, state.batch_stats, None,
+                batch=n_utts, steps=steps, t_in=inputs_a.shape[1],
+                t_ref=refs_a.shape[1], taco_chunk=taco_batch,
+                vocoder="griffin_lim")
+            prog_gl(inputs_a, lens_a, refs_a, refs_a)
+            times_gl = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = prog_gl(inputs_a, lens_a, refs_a, refs_a)
+                wl = np.asarray(out[1])
+                times_gl.append(time.perf_counter() - t0)
+            fused_prog["fused_program_gl_audio_s_per_s"] = round(
+                float(wl.sum()) / sr / min(times_gl), 1)
+            _state["detail"]["pipeline_fused_program_gl_audio_s_per_s"] = \
+                fused_prog["fused_program_gl_audio_s_per_s"]
     except Exception as e:  # pragma: no cover
         fused_prog = {"fused_program_error": f"{type(e).__name__}: {e}"[:200]}
 

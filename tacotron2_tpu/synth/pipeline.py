@@ -62,15 +62,19 @@ class TextToWavProgram:
                  batch: int, steps: int, t_in: int, t_ref: int = 64,
                  taco_chunk: Optional[int] = None, upsample_chunk: int = 32,
                  interpret: bool = False, emt_only: bool = False,
-                 sampler_bf16: Optional[bool] = None):
+                 sampler_bf16: Optional[bool] = None,
+                 vocoder: str = "wavenet"):
         tc, au, wn = cfg.tacotron, cfg.audio, cfg.wavenet
+        assert vocoder in ("wavenet", "griffin_lim")
+        self.vocoder = vocoder
         assert not cfg.gst.emt_attn, \
             "emt_attn variants use the per-stage blocked/scan paths"
         assert len(set(tc.prenet_layers)) == 1, "kernel wants equal prenet FCs"
         assert _round_up(t_in, 1) <= 256, \
             "monolithic decode kernel envelope is 256 padded chars; " \
             "use the per-stage blocked kernel beyond it"
-        if not interpret and (wn.sampler_hbm_delay_threshold or 0) > 0:
+        if vocoder == "wavenet" and not interpret \
+                and (wn.sampler_hbm_delay_threshold or 0) > 0:
             # the HBM-delay sampler's conditioning/delay DMA slices put the
             # batch on the lane dimension; Mosaic requires 128-alignment
             # (measured: B=64 fails to compile, B=256 is the serving shape)
@@ -96,10 +100,11 @@ class TextToWavProgram:
         self._wn_model = WaveNet(config=cfg)
         self._taco_params = taco_params
         self._batch_stats = batch_stats or {}
-        self._wn_params = wn_params
+        self._wn_params = wn_params if vocoder == "wavenet" else {}
         self._dec_params = extract_decoder_params(taco_params, cfg,
                                                   emt_only=emt_only)
-        self._sampler_params = extract_sampler_params(wn_params, cfg)
+        self._sampler_params = (extract_sampler_params(wn_params, cfg)
+                                if vocoder == "wavenet" else ())
 
         # memory width M (encoder output ++ tiled style embedding) via an
         # abstract pass — needed to size the decode kernel before any data
@@ -119,22 +124,32 @@ class TextToWavProgram:
             cfg, self.taco_chunk, t_in, steps, self.memory_width,
             weight_dtype=wd, emit_alignments=False,
             early_stop_block=tc.early_stop_block, interpret=interpret)
-        # serving default: bf16 delay cache + weights — the measured-best
-        # production sampler config (parity-validated; an f32 HBM-delay
-        # sampler at B=256 alone wants ~194 MB of VMEM and cannot compile).
-        # Interpret-mode tests stay f32 for exact XLA-scan comparison.
-        if sampler_bf16 is None:
-            sampler_bf16 = not interpret
-        sdt = jnp.bfloat16 if sampler_bf16 else jnp.float32
-        cache_dtype = (jnp.bfloat16 if wn.sampler_cache_dtype == "bfloat16"
-                       else sdt)
-        weight_dtype = (jnp.bfloat16 if wn.sampler_weight_dtype == "bfloat16"
-                        else sdt)
-        self._sampler_run = build_sampler_kernel(
-            cfg, batch, self.t_audio_pad, chunk=wn.sampler_chunk,
-            cache_dtype=cache_dtype, weight_dtype=weight_dtype,
-            hbm_delay_threshold=wn.sampler_hbm_delay_threshold or None,
-            window=wn.sampler_window, interpret=interpret)
+        if vocoder == "wavenet":
+            # serving default: bf16 delay cache + weights — the
+            # measured-best production sampler config (parity-validated; an
+            # f32 HBM-delay sampler at B=256 alone wants ~194 MB of VMEM
+            # and cannot compile). Interpret-mode tests stay f32 for exact
+            # XLA-scan comparison.
+            if sampler_bf16 is None:
+                sampler_bf16 = not interpret
+            sdt = jnp.bfloat16 if sampler_bf16 else jnp.float32
+            cache_dtype = (jnp.bfloat16
+                           if wn.sampler_cache_dtype == "bfloat16" else sdt)
+            weight_dtype = (jnp.bfloat16
+                            if wn.sampler_weight_dtype == "bfloat16" else sdt)
+            self._sampler_run = build_sampler_kernel(
+                cfg, batch, self.t_audio_pad, chunk=wn.sampler_chunk,
+                cache_dtype=cache_dtype, weight_dtype=weight_dtype,
+                hbm_delay_threshold=wn.sampler_hbm_delay_threshold or None,
+                window=wn.sampler_window, interpret=interpret)
+        else:
+            # Griffin-Lim route (the reference's vocoder-free default,
+            # synthesize.py GL_on_GPU): pure XLA, inlines into the program.
+            # Output matches mels_to_wavs' hop*(frames-1) trim; the host
+            # wrapper applies inv_preemphasis (as the reference does,
+            # tacotron/train.py:660).
+            self._sampler_run = None
+            self.t_audio = self.hop * (self.frames - 1)
 
         self._seed = 0
         self._jit_run = jax.jit(self._forward)
@@ -184,12 +199,20 @@ class TextToWavProgram:
         mel_len = jnp.maximum(mel_len, r)              # ≥ one reduction group
 
         # mask the tail to normalized silence so the vocoder conditions on
-        # silence past the end, then rescale to [0,1] (feeder _interp parity)
+        # silence past the end (denormalizes to min_level_db, not a loud pad)
         lo = -au.max_abs_value if au.symmetric_mels else 0.0
         pad_val = lo if au.signal_normalization else \
             (au.min_level_db - au.ref_level_db)
         frame_idx = jnp.arange(self.frames)[None, :, None]
         mel = jnp.where(frame_idx < mel_len[:, None, None], mel, pad_val)
+
+        if self.vocoder == "griffin_lim":
+            from ..ops import griffin_lim as gl
+            samples = gl.inv_mel_spectrogram(mel, au)[:, :self.t_audio]
+            wav_len = jnp.minimum(mel_len * self.hop, self.t_audio)
+            return samples, wav_len, mel, stops, mel_len
+
+        # rescale to [0,1] (feeder _interp parity) and vocode
         c = mel
         if au.clip_for_wavenet:
             c = jnp.clip(c, lo, au.max_abs_value)
@@ -289,4 +312,10 @@ class TextToWavProgram:
             refs_s.astype(np.float32))
         samples = np.asarray(samples)
         wav_len = np.asarray(wav_len)
-        return [samples[i, :wav_len[i]] for i in range(len(texts))]
+        wavs = [samples[i, :wav_len[i]] for i in range(len(texts))]
+        if self.vocoder == "griffin_lim":
+            from ..data import audio as host_audio
+            a = self.cfg.audio
+            wavs = [host_audio.inv_preemphasis(w, a.preemphasis,
+                                               a.preemphasize) for w in wavs]
+        return wavs

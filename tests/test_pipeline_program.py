@@ -221,3 +221,37 @@ def test_sharded_program_matches_single_device(setup):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_sh), s_ref,
                                atol=1e-4, rtol=1e-3)
+
+
+def test_griffin_lim_program_variant(setup):
+    """vocoder='griffin_lim': the program swaps the sampler for the device
+    G-L inversion; output equals inv_mel_spectrogram of the program's own
+    masked mel, trimmed to hop*(frames-1) (mels_to_wavs semantics)."""
+    from tacotron2_tpu.ops import griffin_lim as gl
+
+    cfg, tparams, tstats, wparams, prog, inputs, lengths, refs = setup
+    prog_gl = TextToWavProgram(cfg, tparams, tstats, None,
+                               batch=B, steps=STEPS, t_in=T_IN, t_ref=T_REF,
+                               taco_chunk=2, upsample_chunk=2,
+                               interpret=True, vocoder="griffin_lim")
+    samples, wav_len, mel, stops, mel_len = prog_gl(inputs, lengths, refs,
+                                                    refs)
+    hop = cfg.audio.effective_hop
+    n_frames = STEPS * cfg.tacotron.outputs_per_step
+    assert samples.shape == (B, hop * (n_frames - 1))
+    # per-sample equality through 60 G-L phase iterations is ill-posed
+    # (DESIGN §5: f32 reassociation in the fused program shifts
+    # noise-dominated phases) — require near-perfect waveform correlation
+    ref_wav = np.asarray(gl.inv_mel_spectrogram(mel, cfg.audio))
+    for b in range(B):
+        c = np.corrcoef(np.asarray(samples)[b],
+                        ref_wav[b, :samples.shape[1]])[0, 1]
+        assert c > 0.99, (b, c)
+    # the program's mel matches the wavenet-variant program's mel
+    _, _, mel_wn, _, _ = prog(inputs, lengths, refs, refs)
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(mel_wn),
+                               atol=1e-5, rtol=1e-5)
+    wavs = prog_gl.synthesize(["ab cd.", "efg.", "hi jk.", "lm."],
+                              [np.asarray(refs[i]) for i in range(B)],
+                              [np.asarray(refs[i]) for i in range(B)])
+    assert len(wavs) == B and all(np.isfinite(w).all() for w in wavs)
