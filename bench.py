@@ -955,16 +955,6 @@ def main():
     else:
         detail["skipped"].append("training")
 
-    # --- decode variants: long-input fused block + emt_attn --------------
-    if _remaining() > 90:
-        try:
-            dv = _timed('decode_variants', lambda: bench_decode_variants(cfg))
-            detail["decode_variants"] = dv
-        except Exception as e:  # pragma: no cover
-            detail["decode_variants_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        detail["skipped"].append("decode_variants")
-
     # --- MEASURED chained pipeline (vs the harmonic estimate above).
     # Fused-single-program first with streaming emission, so even a
     # watchdog cut mid-section lands the serving headline ----------------
@@ -1006,6 +996,16 @@ def main():
             detail["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
         detail["skipped"].append("pipeline")
+
+    # --- decode variants: long-input fused block + emt_attn --------------
+    if _remaining() > 90:
+        try:
+            dv = _timed('decode_variants', lambda: bench_decode_variants(cfg))
+            detail["decode_variants"] = dv
+        except Exception as e:  # pragma: no cover
+            detail["decode_variants_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("decode_variants")
 
     detail["elapsed_s"] = round(time.time() - _T0, 1)
     if not detail["skipped"]:
