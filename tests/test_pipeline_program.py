@@ -255,3 +255,22 @@ def test_griffin_lim_program_variant(setup):
                               [np.asarray(refs[i]) for i in range(B)],
                               [np.asarray(refs[i]) for i in range(B)])
     assert len(wavs) == B and all(np.isfinite(w).all() for w in wavs)
+
+
+def test_program_with_early_stop_blocks(setup):
+    """early_stop_block < steps: the in-kernel K-block skip path is active
+    inside the program (production default). With the stop projection OFF
+    no stream fires, so outputs must equal the K-disabled program's."""
+    cfg, tparams, tstats, wparams, prog, inputs, lengths, refs = setup
+    cfg_k = cfg.replace(tacotron=dataclasses.replace(
+        cfg.tacotron, early_stop_block=2))
+    prog_k = TextToWavProgram(cfg_k, tparams, tstats, wparams,
+                              batch=B, steps=STEPS, t_in=T_IN, t_ref=T_REF,
+                              taco_chunk=2, upsample_chunk=2, interpret=True)
+    s_k, wl_k, mel_k, stops_k, ml_k = prog_k(inputs, lengths, refs, refs)
+    s0, wl0, mel0, stops0, ml0 = prog(inputs, lengths, refs, refs)
+    np.testing.assert_array_equal(np.asarray(ml_k), np.asarray(ml0))
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s0),
+                               atol=1e-4, rtol=1e-3)
