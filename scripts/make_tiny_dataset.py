@@ -56,9 +56,12 @@ def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11,
     a distinct tone segment (char i -> 220*2^(i/6) Hz), so a correctly
     trained attention must form a monotonic text-to-frame diagonal. Wavs go
     through the REAL preprocessing path (preemphasis/rescale/mel/normalize;
-    trim disabled so the char->frame map stays exact). Returns
-    (rows, audio_cfg) — rows are real train.txt tuples. write_audio also
-    emits hop-aligned waveform targets (audio-N.npy) for vocoder training."""
+    trim disabled so the char->frame map stays exact). `chars` is either a
+    fixed per-utterance length or a (lo, hi) range sampled per utterance
+    (sentence-length texts, reference eval sentences are 60-120 chars,
+    code/hparams.py:370-395). Returns (rows, audio_cfg) — rows are real
+    train.txt tuples. write_audio also emits hop-aligned waveform targets
+    (audio-N.npy) for vocoder training."""
     import dataclasses
 
     from scipy.io import wavfile
@@ -79,7 +82,9 @@ def make_alignable_corpus(out_dir, n=8, chars=12, seed=0, char_dur=0.11,
 
     rows = []
     for i in range(n):
-        idx = rng.integers(0, len(ALIGN_CHARS), chars)
+        n_chars = (int(rng.integers(chars[0], chars[1] + 1))
+                   if isinstance(chars, (tuple, list)) else chars)
+        idx = rng.integers(0, len(ALIGN_CHARS), n_chars)
         text = "".join(ALIGN_CHARS[j] for j in idx)
         segs = []
         t = np.arange(int(sr * char_dur)) / sr
