@@ -177,10 +177,59 @@ def _train_sequencer(cfg, args, log_dir, feeder_kwargs, trainer_kwargs):
     log("Tacotron-2 pipeline complete", slack=True)
 
 
-def cmd_synthesize(args):
+def _restore_tacotron(cfg, args):
+    """Restore the latest Tacotron checkpoint into a fresh train state
+    (shared by synthesize/serve). Returns (trainer, state, ref, ref_spk)."""
     import jax
     import numpy as np
 
+    from .train.checkpoint import CheckpointManager
+    from .train.tacotron_step import TacotronTrainer
+
+    trainer = TacotronTrainer(cfg)
+    mgr = CheckpointManager(args.checkpoint or
+                            os.path.join(args.base_dir, "logs-Tacotron",
+                                         "taco_pretrained"))
+    # Initialize with a dummy mini-batch matching train shapes
+    ref = np.load(args.ref_mel_emt) if args.ref_mel_emt else \
+        np.zeros((40, cfg.audio.num_mels), np.float32)
+    ref_spk = np.load(args.ref_mel_spk) if args.ref_mel_spk else ref
+    dummy = dict(
+        inputs=np.zeros((1, 16), np.int32),
+        input_lengths=np.asarray([16], np.int32),
+        mel_targets=np.zeros((1, 32, cfg.audio.num_mels), np.float32),
+        ref_mel_emt=ref[None], ref_mel_spk=ref_spk[None])
+    state = trainer.init_state(jax.random.PRNGKey(0), dummy)
+    state = mgr.restore(state)
+    mgr.close()
+    return trainer, state, ref, ref_spk
+
+
+def _restore_wavenet_ema(cfg, args):
+    """Restore WaveNet EMA weights (the reference synthesizes from the EMA
+    shadow, wavenet_vocoder/synthesizer.py:14-60)."""
+    import jax
+    import numpy as np
+
+    from .train.checkpoint import CheckpointManager
+    from .train.wavenet_step import WaveNetTrainer
+
+    wn_trainer = WaveNetTrainer(cfg)
+    wn_mgr = CheckpointManager(args.wavenet_checkpoint or
+                               os.path.join(args.base_dir, "logs-WaveNet",
+                                            "wave_pretrained"))
+    hop = cfg.audio.effective_hop
+    dummy = dict(x=np.zeros((1, 4 * hop, 1), np.float32),
+                 c=np.zeros((1, 4, cfg.wavenet.cin_channels), np.float32),
+                 y=np.zeros((1, 4 * hop), np.float32),
+                 input_lengths=np.asarray([4 * hop], np.int32))
+    wn_state = wn_trainer.init_state(jax.random.PRNGKey(0), dummy)
+    wn_state = wn_mgr.restore(wn_state)
+    wn_mgr.close()
+    return wn_state.ema_params
+
+
+def cmd_synthesize(args):
     cfg = get_config(args.preset, args.hparams)
     log_dir = os.path.join(args.base_dir, f"logs-{args.model}")
     out_dir = args.output_dir or os.path.join(args.base_dir, "tacotron_output")
@@ -201,25 +250,8 @@ def cmd_synthesize(args):
                                            run_style_transfer,
                                            run_synthesis_multiple,
                                            run_synthesis_random)
-        from .train.checkpoint import CheckpointManager
-        from .train.tacotron_step import TacotronTrainer
 
-        trainer = TacotronTrainer(cfg)
-        mgr = CheckpointManager(args.checkpoint or
-                                os.path.join(args.base_dir, "logs-Tacotron",
-                                             "taco_pretrained"))
-        # Initialize with a dummy mini-batch matching train shapes
-        ref = np.load(args.ref_mel_emt) if args.ref_mel_emt else \
-            np.zeros((40, cfg.audio.num_mels), np.float32)
-        ref_spk = np.load(args.ref_mel_spk) if args.ref_mel_spk else ref
-        dummy = dict(
-            inputs=np.zeros((1, 16), np.int32),
-            input_lengths=np.asarray([16], np.int32),
-            mel_targets=np.zeros((1, 32, cfg.audio.num_mels), np.float32),
-            ref_mel_emt=ref[None], ref_mel_spk=ref_spk[None])
-        state = trainer.init_state(jax.random.PRNGKey(0), dummy)
-        state = mgr.restore(state)
-        mgr.close()
+        trainer, state, ref, ref_spk = _restore_tacotron(cfg, args)
         synth = TacotronSynthesizer(cfg, state.params, state.batch_stats,
                                     model=trainer.model)
 
@@ -257,37 +289,135 @@ def cmd_synthesize(args):
 
     if args.model in ("WaveNet", "Tacotron-2"):
         from .synth.wavenet_synth import WaveNetSynthesizer, run_synthesis
-        from .train.checkpoint import CheckpointManager
-        from .train.wavenet_step import WaveNetTrainer
 
         map_path = args.mels_map or os.path.join(
             out_dir, "gta" if args.mode == "gta" else "eval", "map.txt")
-        wn_trainer = WaveNetTrainer(cfg)
-        wn_mgr = CheckpointManager(args.wavenet_checkpoint or
-                                   os.path.join(args.base_dir, "logs-WaveNet",
-                                                "wave_pretrained"))
-        hop = cfg.audio.effective_hop
-        dummy = dict(x=np.zeros((1, 4 * hop, 1), np.float32),
-                     c=np.zeros((1, 4, cfg.wavenet.cin_channels), np.float32),
-                     y=np.zeros((1, 4 * hop), np.float32),
-                     input_lengths=np.asarray([4 * hop], np.int32))
-        wn_state = wn_trainer.init_state(jax.random.PRNGKey(0), dummy)
-        wn_state = wn_mgr.restore(wn_state)
-        wn_mgr.close()
-        synth_wn = WaveNetSynthesizer(cfg, wn_state.ema_params)
+        synth_wn = WaveNetSynthesizer(cfg, _restore_wavenet_ema(cfg, args))
         wav_out = os.path.join(out_dir, "wavenet")
         paths = run_synthesis(synth_wn, map_path, wav_out, limit=args.limit)
         log(f"wavenet synthesis done: {len(paths)} wavs -> {wav_out}")
 
 
+def _make_serve_fn(args):
+    """Build the single-program serving closure: returns (run, out_dir)
+    where run(sentences) synthesizes through a shape-bucketed
+    TextToWavProgram and returns the written wav paths."""
+    import time as _time
+
+    import numpy as np
+
+    from .data import audio as host_audio
+    from .synth.pipeline import TextToWavProgram
+    from .text import text_to_sequence
+
+    import dataclasses
+
+    import jax
+
+    cfg = get_config(args.preset, args.hparams)
+    if args.serve_batch % 128 != 0:
+        # the HBM-delay sampler layout wants the batch lane-aligned to 128;
+        # small serving buckets use the all-VMEM delay lines instead
+        cfg = cfg.replace(wavenet=dataclasses.replace(
+            cfg.wavenet, sampler_hbm_delay_threshold=0))
+    # off-TPU (CI / CPU smoke) the Pallas kernels run in interpret mode
+    interpret = jax.default_backend() != "tpu"
+    out_dir = os.path.join(args.output_dir or
+                           os.path.join(args.base_dir, "tacotron_output"),
+                           "serve")
+    os.makedirs(out_dir, exist_ok=True)
+    _, state, ref, ref_spk = _restore_tacotron(cfg, args)
+    wn_params = (_restore_wavenet_ema(cfg, args)
+                 if args.vocoder == "wavenet" else None)
+
+    buckets = sorted(int(b) for b in args.buckets.split(","))
+    programs = {}
+
+    def program_for(seq_len: int) -> TextToWavProgram:
+        t_in = next((b for b in buckets if b >= seq_len), None)
+        assert t_in is not None, \
+            f"cleaned text length {seq_len} exceeds largest bucket " \
+            f"{buckets[-1]} (raise --buckets)"
+        if t_in not in programs:
+            t0 = _time.time()
+            programs[t_in] = TextToWavProgram(
+                cfg, state.params, state.batch_stats, wn_params,
+                batch=args.serve_batch, steps=args.steps, t_in=t_in,
+                t_ref=args.t_ref, vocoder=args.vocoder,
+                interpret=interpret)
+            log(f"serve: built bucket t_in={t_in} batch={args.serve_batch} "
+                f"steps={args.steps} in {_time.time() - t0:.1f}s")
+        return programs[t_in]
+
+    import glob as _glob
+
+    # resume numbering past existing wavs so a restarted server never
+    # silently overwrites previous output
+    counter = [len(_glob.glob(os.path.join(out_dir, "speech-*.wav")))]
+
+    def run(sentences):
+        seq_len = max(len(text_to_sequence(s, cfg.data.cleaners))
+                      for s in sentences)
+        prog = program_for(seq_len)
+        refs = [ref[:args.t_ref]] * len(sentences)
+        refs_s = [ref_spk[:args.t_ref]] * len(sentences)
+        t0 = _time.time()
+        wavs = prog.synthesize(sentences, refs, refs_s)
+        dt = _time.time() - t0
+        paths = []
+        for w in wavs:
+            path = os.path.join(out_dir, f"speech-{counter[0]:05d}.wav")
+            host_audio.save_wav(np.asarray(w, np.float32), path,
+                                cfg.audio.sample_rate)
+            paths.append(path)
+            counter[0] += 1
+        audio_s = sum(len(w) for w in wavs) / cfg.audio.sample_rate
+        log(f"serve: {len(wavs)} utts in {dt:.2f}s "
+            f"({audio_s / max(dt, 1e-9):.2f}x realtime) -> {out_dir}")
+        return paths
+
+    return run, out_dir
+
+
+def cmd_serve(args):
+    """Single-program serving: text → wav through ONE compiled XLA program
+    per (batch, t_in) shape bucket (synth/pipeline.TextToWavProgram) — the
+    productized form of the reference's live mode (code/synthesize.py:47-96),
+    with no host round-trip between the decoder and the vocoder.
+
+    Sentences come from --text-list / --sentence, or interactively from
+    stdin when neither is given. Wavs land in <out>/serve/."""
+    run, _ = _make_serve_fn(args)
+    if args.text_list:
+        with open(args.text_list, encoding="utf-8") as f:
+            sentences = [line.strip() for line in f if line.strip()]
+        run(sentences)
+    elif args.sentence:
+        run([args.sentence])
+    else:
+        print("serve: type a sentence, empty line to exit")
+        while True:
+            try:
+                line = input("> ").strip()
+            except EOFError:
+                break
+            if not line:
+                break
+            run([line])
+
+
 def cmd_live(args):
     """Interactive synthesis loop (reference synthesize.py 'live' mode,
-    playing each result through aplay when available)."""
+    playing each result through aplay when available). With --pipeline, each
+    line runs through the warm single-program serving path
+    (TextToWavProgram) instead of re-restoring checkpoints per line."""
     import glob
     import shutil
     import subprocess
     args.mode = "eval"
     player = shutil.which("aplay") or shutil.which("play")
+    serve_run = _make_serve_fn(args)[0] if getattr(args, "pipeline",
+                                                   False) else None
     print("live mode: type a sentence, empty line to exit"
           + ("" if player else " (no audio player found; wavs saved only)"))
     while True:
@@ -297,6 +427,11 @@ def cmd_live(args):
             break
         if not line:
             break
+        if serve_run is not None:
+            paths = serve_run([line])
+            if player and paths:
+                subprocess.run([player, paths[-1]], check=False)
+            continue
         args.sentence = line
         args.text_list = None
         cmd_synthesize(args)
@@ -464,6 +599,33 @@ def build_parser() -> argparse.ArgumentParser:
     sy.add_argument("--limit", type=int, default=None)
     sy.set_defaults(func=cmd_synthesize)
 
+    def add_serve_args(sp):
+        sp.add_argument("--vocoder", default="wavenet",
+                        choices=["wavenet", "griffin_lim"])
+        sp.add_argument("--serve-batch", type=int, default=8,
+                        help="program batch (the serving shape bucket's "
+                             "stream count; short batches are padded)")
+        sp.add_argument("--steps", type=int, default=250,
+                        help="max decoder steps per bucket (frames = "
+                             "steps × outputs_per_step)")
+        sp.add_argument("--t-ref", type=int, default=64)
+        sp.add_argument("--buckets", default="64,128,256",
+                        help="padded-text shape buckets; each compiles one "
+                             "program on first use")
+
+    sv = sub.add_parser("serve",
+                        help="single-program text->wav serving "
+                             "(one compiled XLA program per shape bucket)")
+    sv.add_argument("--checkpoint", default=None)
+    sv.add_argument("--wavenet-checkpoint", default=None)
+    sv.add_argument("--output-dir", default=None)
+    sv.add_argument("--text-list", default=None)
+    sv.add_argument("--sentence", default=None)
+    sv.add_argument("--ref-mel-emt", default=None)
+    sv.add_argument("--ref-mel-spk", default=None)
+    add_serve_args(sv)
+    sv.set_defaults(func=cmd_serve)
+
     lv = sub.add_parser("live")
     for a in sy._actions[1:]:
         if a.dest not in ("help", "command"):
@@ -471,6 +633,10 @@ def build_parser() -> argparse.ArgumentParser:
                             **({"action": "store_true"} if isinstance(
                                 a, argparse._StoreTrueAction) else
                                {"type": a.type} if a.type else {}))
+    lv.add_argument("--pipeline", action="store_true",
+                    help="route lines through the warm single-program "
+                         "serving path (TextToWavProgram)")
+    add_serve_args(lv)
     lv.set_defaults(func=cmd_live, model="Tacotron", mode="eval")
 
     dt = sub.add_parser("disc-train")

@@ -241,8 +241,13 @@ class TextToWavProgram:
         Trim host-side: `samples[i, :wav_lengths[i]]`."""
         assert inputs.shape == (self.batch, self.t_in), \
             f"expected {(self.batch, self.t_in)}, got {inputs.shape}"
-        assert refs_emt.shape[1] == self.t_ref, \
-            f"refs padded to t_ref={self.t_ref}, got {refs_emt.shape}"
+        nm = self.cfg.audio.num_mels
+        assert refs_emt.shape == (self.batch, self.t_ref, nm), \
+            f"refs_emt must be {(self.batch, self.t_ref, nm)}, " \
+            f"got {refs_emt.shape}"
+        assert refs_spk.shape == (self.batch, self.t_ref, nm), \
+            f"refs_spk must be {(self.batch, self.t_ref, nm)}, " \
+            f"got {refs_spk.shape}"
         self._seed += self.n_chunks
         return self._jit_run(
             self._taco_params, self._batch_stats, self._dec_params,
@@ -291,8 +296,14 @@ class TextToWavProgram:
             jnp.asarray(self._seed, jnp.int32))
 
     def synthesize(self, texts, ref_mels_emt, ref_mels_spk):
-        """Convenience host wrapper: texts/refs → list of trimmed wavs."""
+        """Convenience host wrapper: texts/refs → list of trimmed wavs.
+
+        Batches shorter than the program's bucket are padded with repeats of
+        the first row and trimmed after (a serving bucket never asserts on a
+        short final batch); longer ones run in multiple program calls."""
         from ..text import text_to_sequence
+        n = len(texts)
+        assert n > 0 and len(ref_mels_emt) == n and len(ref_mels_spk) == n
         seqs = [np.asarray(text_to_sequence(t, self.cfg.data.cleaners),
                            np.int32) for t in texts]
         lengths = np.asarray([len(s) for s in seqs], np.int32)
@@ -301,21 +312,43 @@ class TextToWavProgram:
         inputs = np.stack([np.pad(s, (0, self.t_in - len(s)))
                            for s in seqs])
         pad_val = -self.cfg.audio.max_abs_value
-        refs_e = np.stack([
-            np.pad(m, ((0, self.t_ref - len(m)), (0, 0)),
-                   constant_values=pad_val) for m in ref_mels_emt])
-        refs_s = np.stack([
-            np.pad(m, ((0, self.t_ref - len(m)), (0, 0)),
-                   constant_values=pad_val) for m in ref_mels_spk])
-        samples, wav_len, _, _, _ = self(
-            inputs, lengths, refs_e.astype(np.float32),
-            refs_s.astype(np.float32))
-        samples = np.asarray(samples)
-        wav_len = np.asarray(wav_len)
-        wavs = [samples[i, :wav_len[i]] for i in range(len(texts))]
+
+        def pad_ref(m):
+            m = np.asarray(m, np.float32)[:self.t_ref]
+            return np.pad(m, ((0, self.t_ref - len(m)), (0, 0)),
+                          constant_values=pad_val)
+
+        refs_e = np.stack([pad_ref(m) for m in ref_mels_emt])
+        refs_s = np.stack([pad_ref(m) for m in ref_mels_spk])
+
+        samples_l, wav_len_l = [], []
+        for i in range(0, n, self.batch):
+            sl = slice(i, i + self.batch)
+            ii, ll = inputs[sl], lengths[sl]
+            re_, rs = refs_e[sl], refs_s[sl]
+            short = self.batch - len(ii)
+            if short:                      # fill the bucket with row repeats
+                fill = np.arange(short) % len(ii)
+                ii = np.concatenate([ii, ii[fill]])
+                ll = np.concatenate([ll, ll[fill]])
+                re_ = np.concatenate([re_, re_[fill]])
+                rs = np.concatenate([rs, rs[fill]])
+            s, wl, _, _, _ = self(ii, ll, re_, rs)
+            take = self.batch - short
+            samples_l.append(np.asarray(s)[:take])
+            wav_len_l.append(np.asarray(wl)[:take])
+        samples = np.concatenate(samples_l)
+        wav_len = np.concatenate(wav_len_l)
+        wavs = [samples[i, :wav_len[i]] for i in range(n)]
         if self.vocoder == "griffin_lim":
             from ..data import audio as host_audio
             a = self.cfg.audio
             wavs = [host_audio.inv_preemphasis(w, a.preemphasis,
                                                a.preemphasize) for w in wavs]
+        elif self.cfg.wavenet.input_type == "mulaw":
+            # per-stage parity (wavenet_synth.py:98-103): the sampler emits
+            # companded samples for mulaw input; invert before returning
+            from ..ops.mulaw import inv_mulaw
+            q = self.cfg.wavenet.quantize_channels - 1
+            wavs = [np.asarray(inv_mulaw(w, q), np.float32) for w in wavs]
         return wavs

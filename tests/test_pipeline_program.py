@@ -10,6 +10,7 @@ are suppressed so both chains are deterministic (sampler log-scale pinned to
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -274,3 +275,67 @@ def test_program_with_early_stop_blocks(setup):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s0),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_synthesize_wrapper_pads_short_and_chunks_long(setup):
+    """The serving bucket never asserts on batch size: short batches are
+    filled with row repeats and trimmed, longer ones run multiple program
+    calls. Per-row outputs match the full-bucket call (noise pinned)."""
+    cfg, _, _, _, prog, _, _, refs = setup
+    ref_list = [np.asarray(refs[i % B]) for i in range(B + 2)]
+    texts_full = ["hello there.", "a b c d e.", "ok.", "another one."]
+    wavs_full = prog.synthesize(texts_full, ref_list[:B], ref_list[:B])
+
+    # short batch: 2 rows into a B-bucket
+    wavs_short = prog.synthesize(texts_full[:2], ref_list[:2], ref_list[:2])
+    assert len(wavs_short) == 2
+    for a, b in zip(wavs_short, wavs_full[:2]):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    # long batch: B+2 rows -> two program calls, second one padded
+    texts_long = (texts_full * 2)[:B + 2]
+    wavs_long = prog.synthesize(texts_long, ref_list, ref_list)
+    assert len(wavs_long) == B + 2
+    assert all(np.isfinite(w).all() for w in wavs_long)
+    for a, b in zip(wavs_long[:B], wavs_full):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+    # over-length refs are clipped to the program's t_ref bucket
+    long_refs = [np.pad(r, ((0, 7), (0, 0))) for r in ref_list[:2]]
+    wavs = prog.synthesize(texts_full[:2], long_refs, long_refs)
+    assert len(wavs) == 2
+
+
+def test_cli_serve_single_program_path(setup, tmp_path, monkeypatch):
+    """`cli serve` drives TextToWavProgram end to end: bucket policy picks
+    the smallest covering t_in, programs are cached per bucket, wavs land
+    on disk. Checkpoint restore is stubbed (covered by its own tests)."""
+    import types
+
+    from tacotron2_tpu import cli
+
+    cfg, tparams, tstats, wparams, _, _, _, refs = setup
+    monkeypatch.setattr(cli, "get_config", lambda preset, hparams: cfg)
+    state = types.SimpleNamespace(params=tparams, batch_stats=tstats)
+    ref0 = np.asarray(refs[0])
+    monkeypatch.setattr(cli, "_restore_tacotron",
+                        lambda c, a: (None, state, ref0, ref0))
+    monkeypatch.setattr(cli, "_restore_wavenet_ema", lambda c, a: wparams)
+
+    args = types.SimpleNamespace(
+        preset="default", hparams="", base_dir=str(tmp_path),
+        output_dir=str(tmp_path), serve_batch=2, steps=STEPS, t_ref=T_REF,
+        buckets=f"{T_IN},{2 * T_IN}", vocoder="wavenet",
+        checkpoint=None, wavenet_checkpoint=None,
+        ref_mel_emt=None, ref_mel_spk=None,
+        sentence="hello there.", text_list=None)
+    cli.cmd_serve(args)
+    import glob
+    wavs = glob.glob(os.path.join(str(tmp_path), "serve", "*.wav"))
+    assert len(wavs) == 1
+
+    # a longer sentence escalates to the next bucket; both programs cached
+    run, out_dir = cli._make_serve_fn(args)
+    run(["hi."])
+    run(["a longer line, second bucket."])
+    assert len(glob.glob(os.path.join(out_dir, "*.wav"))) == 3
