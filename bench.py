@@ -1,4 +1,9 @@
-"""Benchmark driver: prints ONE JSON line for the round's headline metric.
+"""Benchmark driver: prints a compact (<1 kB) JSON headline line for the
+round's metric, then the full detail as a `BENCH_DETAIL `-prefixed line
+(also written to artifacts/bench_full.json), then the compact line once
+more — robust to first-line, last-line, and tail-buffer parsers (VERDICT
+r4 item 2: the single giant line came back `parsed: null` two rounds
+running). Timed sections report min/med/max over >=3 repeats.
 
 Headline (BASELINE north star): WaveNet vocoder synthesis throughput in
 audio-seconds per wall-second per chip, using the fused Pallas sampling kernel
@@ -46,6 +51,19 @@ def _remaining():
     return BUDGET_S - (time.time() - _T0)
 
 
+def _spread(sample_fn, repeats=3):
+    """Repeat a timed measurement and quantify run-to-run variance
+    (VERDICT r4 item 2: single-number sections made tunnel drift
+    indistinguishable from regression). sample_fn(i) returns one timing;
+    returns (median, {min, med, max}) — the median is the headline value,
+    the spread is committed next to it."""
+    vals = [float(sample_fn(i)) for i in range(repeats)]
+    ss = sorted(vals)
+    n = len(ss)
+    med = ss[n // 2] if n % 2 else 0.5 * (ss[n // 2 - 1] + ss[n // 2])
+    return med, dict(min=ss[0], med=med, max=ss[-1])
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the remote-compile tunnel makes the
     first Pallas/scan compile take minutes; caching makes repeat bench runs
@@ -65,8 +83,49 @@ _emit_lock = threading.Lock()
 _emitted = False
 
 
+def _compact_headline(detail):
+    """The <1 kB summary of the round's key numbers (VERDICT r4 item 2: the
+    driver's tail buffer truncated the single giant detail line to
+    `parsed: null` for two rounds; every headline number must fit in a
+    short, independently parseable line)."""
+    h = {}
+    for k in ("us_per_step", "tacotron_decode_us_per_step",
+              "tacotron_decode_audio_s_per_s",
+              "pipeline_fused_program_audio_s_per_s",
+              "pipeline_audio_s_per_s",
+              "tacotron_train_ms_per_step", "wavenet_train_ms_per_step",
+              "end_to_end_audio_s_per_s", "xla_scan_audio_s_per_s",
+              "elapsed_s"):
+        if k in detail:
+            h[k] = detail[k]
+    for name, entry in detail.get("mfu", {}).items():
+        pct = entry.get("pct_bf16_peak")
+        if pct is not None:
+            h[f"mfu_{name}_pct"] = pct
+        useful = entry.get("useful_pct_bf16_peak")
+        if useful is not None:
+            h[f"mfu_{name}_useful_pct"] = useful
+    dv = detail.get("decode_variants", {})
+    for k in ("long_input_fused_block", "emt_attn_fused_block"):
+        if k in dv and "us_per_step" in dv[k]:
+            h[f"{k}_us"] = dv[k]["us_per_step"]
+            if "us_per_step_spread" in dv[k]:
+                h[f"{k}_us_spread"] = dv[k]["us_per_step_spread"]
+    if detail.get("skipped"):
+        h["skipped"] = detail["skipped"]
+    return h
+
+
 def _emit():
-    """Print the single JSON line from whatever has been measured so far.
+    """Emit results. Three lines, robust to ANY driver parsing strategy
+    (first parseable line, last parseable line, or a tail buffer that
+    drops the beginning of long lines):
+
+      1. compact headline JSON (<1 kB) — the contract line,
+      2. `BENCH_DETAIL {...}` — full detail, prefixed so a line-oriented
+         parser never mistakes its (possibly truncated) body for the
+         result line; also written to artifacts/bench_full.json,
+      3. the compact headline line again (survives tail truncation).
 
     Headline ladder: fused vocoder > tacotron decode > Griffin-Lim. Safe to
     call exactly once from either the main path or the watchdog."""
@@ -89,14 +148,33 @@ def _emit():
         metric, value, vs = "griffin_lim_throughput", s["griffin_lim"], 1.0
     else:
         metric, value, vs = "bench_failed", 0.0, 0.0
-    out = {
+    compact = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(vs, 2),
-        "detail": detail,
+        "headline": _compact_headline(detail),
     }
-    print(json.dumps(out), flush=True)
+    line = json.dumps(compact)
+    if len(line) > 1000:  # hard contract: the result line stays short
+        compact["headline"] = {"truncated": True,
+                               "elapsed_s": detail.get("elapsed_s")}
+        line = json.dumps(compact)
+    print(line, flush=True)
+    full = dict(compact)
+    full["detail"] = detail
+    try:
+        path = os.environ.get("BENCH_DETAIL_PATH",
+                              os.path.join(os.path.dirname(
+                                  os.path.abspath(__file__)),
+                                  "artifacts", "bench_full.json"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception:  # pragma: no cover - best-effort detail dump
+        pass
+    print("BENCH_DETAIL " + json.dumps(full), flush=True)
+    print(line, flush=True)
 
 
 def _start_watchdog():
@@ -163,16 +241,25 @@ def bench_vocoder(cfg, B=256, seconds=1.0, chunk=512, B_exact=32,
             return float(jnp.sum(x[:, -1]))
 
         sync(run(sp, c_up, 7))  # compile
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = run(sp, c_up, 8 + i)
-        sync(out)
-        return (time.perf_counter() - t0) / iters
 
-    fused_dt = time_config(B, jnp.bfloat16, hbm_delay_threshold)
+        def one(i):
+            t0 = time.perf_counter()
+            out = run(sp, c_up, 8 + i)
+            sync(out)
+            return time.perf_counter() - t0
+
+        if iters == 1:
+            return one(0)
+        med, spread = _spread(one, repeats=iters)
+        return med, spread
+
+    fused_dt, fused_spread = time_config(B, jnp.bfloat16,
+                                         hbm_delay_threshold)
     res = dict(
         fused_audio_s_per_s=B * T / fused_dt / sr,
         fused_us_per_step=fused_dt / T * 1e6,
+        fused_us_per_step_spread={k: round(v / T * 1e6, 2)
+                                  for k, v in fused_spread.items()},
         realtime_factor_per_stream=T / fused_dt / sr,
         batch=B, samples=T)
 
@@ -307,17 +394,22 @@ def bench_tacotron_decode(cfg, B=64, T_in=256, steps=500, M=1024):
 
     f, _, _ = run(dp, keys, memory, mask, 7)
     sync(f)
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
+
+    def one(i):
+        t0 = time.perf_counter()
         f, s, a = run(dp, keys, memory, mask, 8 + i)
-    sync(f)
-    dt = (time.perf_counter() - t0) / iters
+        sync(f)
+        return time.perf_counter() - t0
+
+    dt, spread = _spread(one, repeats=3)
     r = cfg.tacotron.outputs_per_step
     frames_per_s = B * steps * r / dt
     sr, hop = cfg.audio.sample_rate, cfg.audio.effective_hop
     return dict(mel_audio_s_per_s=frames_per_s * hop / sr,
-                us_per_step=dt / steps * 1e6, batch=B)
+                us_per_step=dt / steps * 1e6,
+                us_per_step_spread={k: round(v / steps * 1e6, 2)
+                                    for k, v in spread.items()},
+                batch=B)
 
 
 def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
@@ -359,14 +451,20 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
     st = init_decoder_state(cfg, B, T_in, M)
     f, _, _, st = run(dp, keys, memory, mask, st, 7)
     sync(f)
-    st = init_decoder_state(cfg, B, T_in, M)
-    t0 = time.perf_counter()
-    for i in range(n_blocks):
-        f, _, _, st = run(dp, keys, memory, mask, st, 8 + i)
-    sync(f)
-    dt = (time.perf_counter() - t0) / (n_blocks * K)
+
+    def one_long(i):
+        st = init_decoder_state(cfg, B, T_in, M)
+        t0 = time.perf_counter()
+        for j in range(n_blocks):
+            f, _, _, st = run(dp, keys, memory, mask, st, 8 + i * 16 + j)
+        sync(f)
+        return (time.perf_counter() - t0) / (n_blocks * K)
+
+    dt, spread = _spread(one_long, repeats=3)
     out["long_input_fused_block"] = dict(
         t_in=T_in, batch=B, us_per_step=round(dt * 1e6, 1),
+        us_per_step_spread={k: round(v * 1e6, 1)
+                            for k, v in spread.items()},
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
 
     # --- emt_attn decode: fused block kernel + scan-block comparison -----
@@ -401,14 +499,21 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
                                   cfg.tacotron.compute_dtype == "bfloat16")
     f, carry = block(var_e["params"], carry0, jax.random.PRNGKey(5))
     float(jnp.sum(f[:, -1, 0]))
-    t0 = time.perf_counter()
-    carry = carry0
-    for i in range(n_blocks):
-        f, carry = block(var_e["params"], carry, jax.random.PRNGKey(6 + i))
-    float(jnp.sum(f[:, -1, 0]))
-    dt = (time.perf_counter() - t0) / (n_blocks * K)
+
+    def one_scan(i):
+        carry = carry0
+        t0 = time.perf_counter()
+        for j in range(n_blocks):
+            f, carry = block(var_e["params"], carry,
+                             jax.random.PRNGKey(6 + i * 16 + j))
+        float(jnp.sum(f[:, -1, 0]))
+        return (time.perf_counter() - t0) / (n_blocks * K)
+
+    dt, spread = _spread(one_scan, repeats=3)
     out["emt_attn_scan_block"] = dict(
         t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
+        us_per_step_spread={k: round(v * 1e6, 1)
+                            for k, v in spread.items()},
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
 
     # fused-block emt decode (in-kernel SimpleBahdanau + context_emt feed)
@@ -419,15 +524,21 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
     st = init_decoder_state(cfg_e, B, Te, M)
     f, _, _, st = run_e(dp_e, keys_e, mem_e, mask_e, st, 7, emt_mem, ref_spk)
     sync(f)
-    st = init_decoder_state(cfg_e, B, Te, M)
-    t0 = time.perf_counter()
-    for i in range(n_blocks):
-        f, _, _, st = run_e(dp_e, keys_e, mem_e, mask_e, st, 8 + i,
-                            emt_mem, ref_spk)
-    sync(f)
-    dt = (time.perf_counter() - t0) / (n_blocks * K)
+
+    def one_emt(i):
+        st = init_decoder_state(cfg_e, B, Te, M)
+        t0 = time.perf_counter()
+        for j in range(n_blocks):
+            f, _, _, st = run_e(dp_e, keys_e, mem_e, mask_e, st,
+                                8 + i * 16 + j, emt_mem, ref_spk)
+        sync(f)
+        return (time.perf_counter() - t0) / (n_blocks * K)
+
+    dt, spread = _spread(one_emt, repeats=3)
     out["emt_attn_fused_block"] = dict(
         t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
+        us_per_step_spread={k: round(v * 1e6, 1)
+                            for k, v in spread.items()},
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
     return out
 
@@ -769,6 +880,7 @@ def bench_training(cfg):
     out.update(
         tacotron_train_audio_s_per_s=round(tt["audio_s_per_s"], 1),
         tacotron_train_ms_per_step=round(tt["ms_per_step"], 1),
+        tacotron_train_ms_spread=tt["ms_per_step_spread"],
         tacotron_train_decoder="fused Pallas fwd+bwd (B=96, bf16 conv stacks)")
     # measurement-grade FLOPs (VERDICT r3 item 7): XLA cost_analysis of the
     # compiled step + exact hand-counted matmuls of the Pallas custom-call
@@ -791,6 +903,7 @@ def bench_training(cfg):
         out.update(
             wavenet_train_audio_s_per_s=round(wt["audio_s_per_s"], 1),
             wavenet_train_ms_per_step=round(wt["ms_per_step"], 1),
+            wavenet_train_ms_spread=wt["ms_per_step_spread"],
             wavenet_train_stack="fused Pallas fwd+bwd (B=16, bf16)")
         _state["detail"]["mfu"]["wavenet_train"] = R.mfu_entry(
             R.wavenet_train_step(wbf, 16, wt["crop_samples"]),

@@ -30,6 +30,26 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def _timed_windows(run_fn, steps, windows=3):
+    """Split the timing loop into `windows` blocks and report the spread
+    (VERDICT r4 item 2: a single number per section made tunnel drift
+    indistinguishable from regression). run_fn(key) -> (state, metrics).
+    Returns (median seconds/step, {min, med, max} in ms/step)."""
+    import jax
+    per = max(1, steps // windows)
+    vals = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(per):
+            out = run_fn(jax.random.PRNGKey(2 + w * per + i))
+        float(out[1]["loss"])
+        vals.append((time.perf_counter() - t0) / per)
+    ss = sorted(vals)
+    med = ss[len(ss) // 2]
+    return med, {k: round(v * 1e3, 2) for k, v in
+                 dict(min=ss[0], med=med, max=ss[-1]).items()}
+
+
 def bench_tacotron_train(cfg, B, T_out, steps):
     import jax
     import jax.numpy as jnp
@@ -77,15 +97,13 @@ def bench_tacotron_train(cfg, B, T_out, steps):
     for i in range(2):
         state, m = step(state, batch, jax.random.PRNGKey(100 + i))
     float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / steps
+    dt, spread = _timed_windows(
+        lambda key: step(state, batch, key), steps)
     hop, sr = cfg.audio.effective_hop, cfg.audio.sample_rate
     audio_s = B * T_out * hop / sr
     return dict(model="tacotron", batch=B, mel_frames=T_out,
-                ms_per_step=dt * 1e3, audio_s_per_s=audio_s / dt,
+                ms_per_step=dt * 1e3, ms_per_step_spread=spread,
+                audio_s_per_s=audio_s / dt,
                 xla_flops_per_step=xla_flops, t_in=T_in,
                 compile_s=compile_s)
 
@@ -117,14 +135,12 @@ def bench_wavenet_train(cfg, B, steps):
     for i in range(2):  # untimed warm steps (see bench_tacotron_train)
         state, m = step(state, batch, jax.random.PRNGKey(100 + i))
     float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / steps
+    dt, spread = _timed_windows(
+        lambda key: step(state, batch, key), steps)
     audio_s = B * T / cfg.audio.sample_rate
     return dict(model="wavenet", batch=B, crop_samples=T,
-                ms_per_step=dt * 1e3, audio_s_per_s=audio_s / dt,
+                ms_per_step=dt * 1e3, ms_per_step_spread=spread,
+                audio_s_per_s=audio_s / dt,
                 compile_s=compile_s)
 
 
