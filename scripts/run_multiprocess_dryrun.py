@@ -198,6 +198,118 @@ def worker_main(args) -> None:
         result["wavenet_mesh"] = list(wn_mesh.shape.values())
     print(f"[worker {pid}] wavenet dp x tp steps done: {wn}", flush=True)
 
+    # ---- 3. FUSED Pallas WaveNet train stack ACROSS processes ----
+    # (VERDICT r4 item 5.) A single global-mesh program cannot host
+    # interpret-mode Pallas in multi-controller CPU: the interpreter's
+    # cross-device `_barrier` (interpret_pallas_call.py:234) spans every
+    # device of the shard_map — including the OTHER processes'
+    # non-addressable devices, whose interpreter threads live in a
+    # different process — so the barrier can never complete (measured
+    # again this round: worker stacks show the barrier threads + the main
+    # thread blocked in device_get; r4 saw the same for the decode
+    # kernel). A real pod doesn't have this problem (kernels are
+    # compiled), but the SIMULATION constraint shapes the leg into the
+    # pod's own per-host structure instead:
+    #   (a) each process runs the fused Pallas fwd+bwd kernels on its
+    #       LOCAL devices (shard_map over a local mesh — single-controller
+    #       semantics, interpret-safe), producing its local-mean grads;
+    #   (b) a separate global program all-reduces those grads ACROSS
+    #       processes (one row per process, summed by XLA collectives).
+    # The Pallas kernel machinery and the cross-process gradient exchange
+    # both execute — in the two programs a multi-host data-parallel step
+    # naturally decomposes into.
+    if not args.no_fused:
+        from tacotron2_tpu.models.wavenet.model import WaveNet
+
+        wn_fused_cfg = wn_cfg.replace(wavenet=dataclasses.replace(
+            wn_cfg.wavenet, use_fused_train_stack=True, dropout=0.0))
+        n_local = len(jax.local_devices())
+        fB_global = 2 * ndev
+        fB_local = fB_global // n_procs
+        # deterministic GLOBAL batch; each process takes its own slice
+        rng_f = np.random.default_rng(7)
+        fx = rng_f.uniform(-0.5, 0.5, (fB_global, T_mel * hop, 1)
+                           ).astype(np.float32)
+        fc = rng_f.uniform(0, 1, (fB_global, T_mel, 20)).astype(np.float32)
+        lo = pid * fB_local
+        x_loc = jnp.asarray(fx[lo:lo + fB_local])
+        c_loc = jnp.asarray(fc[lo:lo + fB_local])
+
+        model_f = WaveNet(config=wn_fused_cfg)
+        fvars = model_f.init(
+            dict(params=jax.random.PRNGKey(42),
+                 dropout=jax.random.PRNGKey(43)),
+            jnp.zeros((1, T_mel * hop, 1)), jnp.zeros((1, T_mel, 20)),
+            train=False)
+        fparams = jax.tree_util.tree_map(np.asarray, fvars["params"])
+
+        local_mesh = Mesh(np.asarray(jax.local_devices()).reshape(n_local),
+                          ("data",))
+
+        def local_loss(p, x, c):
+            # train=True routes through model._fused_stack -> the Pallas
+            # fwd kernels; jax.grad drives the custom-vjp bwd kernels
+            y = model_f.apply({"params": p}, x, c, train=True,
+                              rngs=dict(dropout=jax.random.PRNGKey(5)))
+            return jnp.mean(jnp.square(y))
+
+        fused = []
+        with local_mesh:
+            grad_fn = jax.jit(jax.value_and_grad(local_loss))
+            for s in range(args.steps):
+                loss_loc, grads_loc = grad_fn(fparams, x_loc, c_loc)
+                loss_loc = float(loss_loc)
+                grads_host = jax.tree_util.tree_map(np.asarray, grads_loc)
+                # (b) cross-process all-reduce: one [n_procs, ...] global
+                # array per leaf, each process contributing its row; the
+                # jitted mean crosses process boundaries via XLA collectives
+                if n_procs > 1:
+                    # one device FROM EACH process (devices[:n] would take
+                    # n devices all owned by process 0)
+                    gdevs = [next(d for d in devices
+                                  if d.process_index == i)
+                             for i in range(n_procs)]
+                    gmesh = Mesh(np.asarray(gdevs).reshape(n_procs),
+                                 ("proc",))
+                    rsh = NamedSharding(gmesh, P("proc"))
+
+                    def put_row(a):
+                        return jax.make_array_from_callback(
+                            (n_procs,) + a.shape, rsh,
+                            lambda idx, a=a: a[None])
+
+                    gstack = jax.tree_util.tree_map(put_row, grads_host)
+                    with gmesh:
+                        reduce = jax.jit(
+                            lambda t: jax.tree_util.tree_map(
+                                lambda a: jnp.mean(a, axis=0), t),
+                            out_shardings=NamedSharding(gmesh, P()))
+                        gmean = reduce(gstack)
+                    grads = jax.tree_util.tree_map(np.asarray, gmean)
+                    losses = np.asarray(jax.device_get(jax.jit(
+                        lambda v: jnp.mean(v),
+                        out_shardings=NamedSharding(gmesh, P()))(
+                        jax.make_array_from_callback(
+                            (n_procs,), NamedSharding(gmesh, P("proc")),
+                            lambda idx: np.asarray([loss_loc],
+                                                   np.float32)))))
+                    loss_g = float(losses)
+                else:
+                    grads, loss_g = grads_host, loss_loc
+                gnorm = float(np.sqrt(sum(
+                    float(np.sum(np.square(g)))
+                    for g in jax.tree_util.tree_leaves(grads))))
+                # SGD update so successive steps exercise fresh kernels
+                fparams = jax.tree_util.tree_map(
+                    lambda p, g: p - 0.1 * g, fparams, grads)
+                fused.append(dict(loss=round(loss_g, 6),
+                                  grad_norm=round(gnorm, 6)))
+                print(f"[worker {pid}] fused-stack step {s}: {fused[-1]}",
+                      flush=True)
+        result["wavenet_fused_stack_dp"] = fused
+        print(f"[worker {pid}] fused Pallas stack steps done: {fused}",
+              flush=True)
+
     out = os.path.join(args.out, f"worker_{pid}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
@@ -254,6 +366,8 @@ def parent_main(args) -> None:
     }
     wargv = ["--worker", "--metadata", meta, "--out", args.out,
              "--steps", str(args.steps)]
+    if args.no_fused:
+        wargv.append("--no-fused")
 
     procs = []
     for i in range(n):
@@ -317,7 +431,13 @@ def parent_main(args) -> None:
 
     # loss/grad parity: every worker sees identical replicated metrics, and
     # they match the single-process run over the same global device count
-    for sec in ("tacotron_dp", "wavenet_dp_tp"):
+    secs = ["tacotron_dp", "wavenet_dp_tp"]
+    if "wavenet_fused_stack_dp" in workers[0]:
+        secs.append("wavenet_fused_stack_dp")
+    else:
+        ok &= check("wavenet_fused_stack_dp.present", False,
+                    "fused Pallas leg missing from worker results")
+    for sec in secs:
         same = all(w[sec] == workers[0][sec] for w in workers)
         ok &= check(f"{sec}.replicated_agreement", same,
                     "all workers fetched identical replicated metrics")
@@ -365,8 +485,10 @@ def main(argv=None):
     p.add_argument("--local-devices", type=int, default=4)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--timeout", type=int, default=2400)
-    p.add_argument("--out", default="artifacts/multiprocess_r4")
+    p.add_argument("--out", default="artifacts/multiprocess_r5")
     p.add_argument("--worker", action="store_true")
+    p.add_argument("--no-fused", action="store_true",
+                   help="skip the fused Pallas train-stack leg")
     p.add_argument("--metadata", default=None)
     args = p.parse_args(argv)
     if args.worker:

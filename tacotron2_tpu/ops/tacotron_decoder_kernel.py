@@ -167,26 +167,46 @@ def _band_matrix(loc_k, T: int):
     return band
 
 
-def _attention_operands(dp: DecoderParams, keys, T: int, dtype):
+def _attention_operands(dp: DecoderParams, keys, T: int, dtype,
+                        energy_mode: str = "vpu"):
     """Precompute the attention operands for the fused decode step.
 
     - band_a [T, T*A]: location conv FOLDED with the location projection —
       loc[b, t*A+a] = (cum @ band_a)[b, t*A+a] = (conv31(cum) @ W_loc)[b,t,a];
       at T <= 256 this matmul is already MXU-minimal (contraction dim = T
       can't go below one 128-pass, and the 31-tap band spans 2 tiles);
-    - va_row [1, A] f32: v_a for the in-kernel VPU energy reduction
-      sum_a tanh(...)[b,t,a] * v_a[a]. (r3 used a [T*A, T] block-diagonal
-      matmul here — T x padding FLOPs; the lane reduction over the 3-D
-      [B, T, A] view costs only the useful work, VERDICT r3 item 5);
-    - keys3 [B, T, A]: keys with the attention bias (and the conv bias
-      routed through W_loc) pre-added.
+    - the v_a reduction operand, per `energy_mode` (the r5 ablation,
+      scripts/bench_decode_ablate.py):
+        'vpu'  — va_row [1, A] f32; energy = VPU lane reduce over the 3-D
+                 [B, T, A] tanh view (r4 form, useful FLOPs only but pays
+                 a per-step [B,T*A]→[B,T,A] lane-split relayout of `loc`);
+        'vmat' — [T*A, T] block-diagonal matmul (r3 form: T× padding FLOPs
+                 on the MXU, zero relayouts — keys stay 2-D);
+        'dot'  — va_col [A, 8]: the reduce as a thin MXU matmul on the 3-D
+                 view;
+    - keys: [B, T, A] with the attention bias pre-added ('vpu'/'dot'), or
+      flattened [B, T*A] ('vmat').
     """
     A = dp.wq.shape[1]
     wp = (dp.loc_k.astype(jnp.float32) @ dp.wloc.astype(jnp.float32))  # [K, A]
     band_a = _band_matrix(wp, T).reshape(T, T * A)
-    va_row = dp.v_a.astype(jnp.float32).reshape(1, A)
     b_eff = dp.b_a + dp.loc_b @ dp.wloc
+    if energy_mode == "vmat":
+        # r3 form: block-diagonal v_a, energy as one [B,T*A] x [T*A,T]
+        # matmul on 2-D operands (no in-step lane reshapes)
+        vmat = (jnp.eye(T, dtype=jnp.float32)[:, None, :]
+                * dp.v_a.astype(jnp.float32)[None, :, None]).reshape(T * A, T)
+        B = keys.shape[0]
+        keys2 = (keys.astype(jnp.float32)
+                 + b_eff[None, None, :]).reshape(B, T * A)
+        return band_a.astype(dtype), vmat.astype(dtype), keys2.astype(dtype)
     keys3 = keys.astype(jnp.float32) + b_eff[None, None, :]
+    if energy_mode == "dot":
+        # v_a as a thin matmul rhs: e3 [B,T,A] x [A,8] -> [B,T,8], col 0
+        va_col = jnp.zeros((A, 8), jnp.float32).at[:, 0].set(
+            dp.v_a.astype(jnp.float32))
+        return band_a.astype(dtype), va_col.astype(dtype), keys3.astype(dtype)
+    va_row = dp.v_a.astype(jnp.float32).reshape(1, A)
     return band_a.astype(dtype), va_row, keys3.astype(dtype)
 
 
@@ -224,7 +244,8 @@ def init_decoder_state(cfg: Config, B: int, T_in: int, M: int
         pmax=jnp.zeros((B, 128), jnp.int32), ctx_emt=z(B, E))
 
 
-def _tiled_attention_operands(dp: DecoderParams, keys, Tp: int, dtype):
+def _tiled_attention_operands(dp: DecoderParams, keys, Tp: int, dtype,
+                              energy_mode: str = "vpu"):
     """Tile-local attention operands for the blocked kernel.
 
     The monolithic kernel's [Tp, Tp*A] Toeplitz band is quadratic in T_in and
@@ -252,12 +273,20 @@ def _tiled_attention_operands(dp: DecoderParams, keys, Tp: int, dtype):
         eye = jnp.eye(Wb, 128, -(k + 128 - pad), dtype=jnp.float32)
         band3 = band3 + (eye[:, :, None] * wp[k][None, None, :]
                          ).reshape(Wb, 128 * A)
-    va_row = dp.v_a.astype(jnp.float32).reshape(1, A)
+    if energy_mode == "vmat":
+        va_op = (jnp.eye(128, dtype=jnp.float32)[:, None, :]
+                 * dp.v_a.astype(jnp.float32)[None, :, None]
+                 ).reshape(128 * A, 128)
+    elif energy_mode == "dot":
+        va_op = jnp.zeros((A, 8), jnp.float32).at[:, 0].set(
+            dp.v_a.astype(jnp.float32))
+    else:
+        va_op = dp.v_a.astype(jnp.float32).reshape(1, A)
     b_eff = dp.b_a + dp.loc_b @ dp.wloc
     B = keys.shape[0]
     keys2 = (keys.astype(jnp.float32)
              + b_eff[None, None, :]).reshape(B, Tp * A)
-    return band3.astype(dtype), va_row, keys2.astype(dtype)
+    return band3.astype(dtype), va_op.astype(dtype), keys2.astype(dtype)
 
 
 def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
@@ -265,6 +294,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                                weight_dtype=jnp.bfloat16,
                                emit_alignments: bool = True,
                                emt_T: int = None,
+                               energy_mode: str = "vpu",
+                               context_mode: str = "batched",
                                interpret: bool = False):
     """Compile a K-step fused decode block with explicit carry state.
 
@@ -319,11 +350,15 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     E = 2 * gst.reference_depth if has_emt else 1
     ns = 9 if has_emt else 8        # carried state arrays
     A2 = 2 * gst.reference_depth if has_emt else 0
+    assert energy_mode in ("vpu", "vmat", "dot")
+    assert context_mode in ("batched", "blockdiag")
+    blockdiag = context_mode == "blockdiag"
 
     def kernel(seed_ref, *refs):
         it = iter(refs)
         (keys_ref, mem_ref, mask_ref, band_ref,
          va_ref) = (next(it) for _ in range(5))
+        smask_ref = next(it) if blockdiag else None
         if has_emt:
             (ekeys_ref, eva_ref, emem_ref,
              rs_ref) = (next(it) for _ in range(4))
@@ -436,16 +471,36 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             # softmax and the context then run full-width (attention.py:54-96)
             q = jnp.dot(out2.astype(weight_dtype), wq[:],
                         preferred_element_type=jnp.float32)       # [B, A]
-            va3 = va_ref[:].reshape(1, 1, A)
-            for i in range(nt):
-                window = cum_pad[:, i * 128:i * 128 + 384]
-                loc_i = jnp.dot(window.astype(weight_dtype), band_ref[:],
-                                preferred_element_type=jnp.float32)
-                e3 = jnp.tanh(keys_ref[:, i * 128 * A:(i + 1) * 128 * A]
-                              .reshape(B, 128, A)
-                              + q[:, None, :] + loc_i.reshape(B, 128, A))
-                energy_s[:, i * 128:(i + 1) * 128] = jnp.sum(e3 * va3,
-                                                             axis=-1)
+            if energy_mode == "vmat":
+                q_rep = pltpu.repeat(q, 128, axis=1)              # [B, 128*A]
+                for i in range(nt):
+                    window = cum_pad[:, i * 128:i * 128 + 384]
+                    loc_i = jnp.dot(window.astype(weight_dtype), band_ref[:],
+                                    preferred_element_type=jnp.float32)
+                    e2 = jnp.tanh(keys_ref[:, i * 128 * A:(i + 1) * 128 * A]
+                                  + q_rep + loc_i)
+                    energy_s[:, i * 128:(i + 1) * 128] = jnp.dot(
+                        e2.astype(weight_dtype), va_ref[:],
+                        preferred_element_type=jnp.float32)
+            else:
+                va3 = (None if energy_mode == "dot"
+                       else va_ref[:].reshape(1, 1, A))
+                for i in range(nt):
+                    window = cum_pad[:, i * 128:i * 128 + 384]
+                    loc_i = jnp.dot(window.astype(weight_dtype), band_ref[:],
+                                    preferred_element_type=jnp.float32)
+                    e3 = jnp.tanh(keys_ref[:, i * 128 * A:(i + 1) * 128 * A]
+                                  .reshape(B, 128, A)
+                                  + q[:, None, :] + loc_i.reshape(B, 128, A))
+                    if energy_mode == "dot":
+                        et = jax.lax.dot_general(
+                            e3.astype(weight_dtype), va_ref[:],
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [B,128,8]
+                        energy_s[:, i * 128:(i + 1) * 128] = et[:, :, 0]
+                    else:
+                        energy_s[:, i * 128:(i + 1) * 128] = jnp.sum(
+                            e3 * va3, axis=-1)
             energy = energy_s[:]
 
             if constraint:
@@ -464,12 +519,20 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             if constraint:
                 pmax[:, :1] = jnp.argmax(align, axis=-1,
                                          keepdims=True).astype(jnp.int32)
-            # batched dot_general over the 3-D memory — useful FLOPs only
-            # (r3's block-diagonal [B, B*Tp] matmul cost B x the work)
-            new_ctx = jax.lax.dot_general(
-                align[:, None, :].astype(weight_dtype), mem_ref[:],
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]       # [B, M]
+            if blockdiag:
+                # r3 form: one dense [B, B*Tp] x [B*Tp, M] matmul (B x
+                # padding FLOPs but identical MXU pass count)
+                a_rep = pltpu.repeat(align, B, axis=1)            # [B, B*Tp]
+                new_ctx = jnp.dot(
+                    (a_rep * smask_ref[:]).astype(weight_dtype), mem_ref[:],
+                    preferred_element_type=jnp.float32)            # [B, M]
+            else:
+                # batched dot_general over the 3-D memory — useful FLOPs
+                # only (r4 form)
+                new_ctx = jax.lax.dot_general(
+                    align[:, None, :].astype(weight_dtype), mem_ref[:],
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]   # [B, M]
             ctx[:] = new_ctx
 
             # ---- fused frame+stop projection on concat(out2, context)
@@ -515,7 +578,7 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     if has_emt:
         state_shapes.append(jax.ShapeDtypeStruct((B, E), jnp.float32))
     n_weights = 15 + (2 if has_emt else 0)
-    n_ops = 5 + (4 if has_emt else 0)
+    n_ops = 5 + (1 if blockdiag else 0) + (4 if has_emt else 0)
     out_shapes = [jax.ShapeDtypeStruct((K, B, FO), jnp.float32)]
     if emit_alignments:
         out_shapes.append(jax.ShapeDtypeStruct((K, B, Tp), jnp.bfloat16))
@@ -563,8 +626,17 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         if mask is None:
             mask = jnp.ones((B, T_in), bool)
         mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
-        band3, va_row, keys2 = _tiled_attention_operands(dp, keys, Tp, wd)
-        mem3 = memory.astype(wd)                       # [B, Tp, M]
+        band3, va_op, keys2 = _tiled_attention_operands(dp, keys, Tp, wd,
+                                                        energy_mode)
+        if blockdiag:
+            mem_op = memory.reshape(B * Tp, M).astype(wd)
+            smask = (jnp.arange(B)[:, None]
+                     == jnp.arange(B * Tp)[None, :] // Tp
+                     ).astype(jnp.float32)
+            ctx_ops = (smask,)
+        else:
+            mem_op = memory.astype(wd)                 # [B, Tp, M]
+            ctx_ops = ()
         emt_ops, emt_weights = (), ()
         if has_emt:
             assert emt_memory is not None and emt_memory.shape[1] == Te
@@ -594,7 +666,7 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             dp.proj_b.astype(jnp.float32))
         state_in = tuple(state) if has_emt else tuple(state)[:8]
         outs = call(jnp.asarray([seed], jnp.int32),
-                    keys2, mem3, mask, band3, va_row, *emt_ops,
+                    keys2, mem_op, mask, band3, va_op, *ctx_ops, *emt_ops,
                     *state_in, *weights, *emt_weights)
         out = outs[0]
         if emit_alignments:
@@ -647,6 +719,8 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
                          weight_dtype=jnp.bfloat16,
                          emit_alignments: bool = True,
                          early_stop_block: int = 0,
+                         energy_mode: str = "vpu",
+                         context_mode: str = "batched",
                          interpret: bool = False):
     """Compile a fused autoregressive decoder for fixed (B, T_in, max_steps).
 
@@ -690,12 +764,20 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
     fwd = win // 2 if ctype == "window" else win
     back = (win // 2 + win % 2) if ctype == "window" else 0
 
-    def kernel(seed_ref,
-               keys_ref, mem_ref, mask_ref, band_ref, va_ref,
-               pre_w0, pre_b0, pre_w1, pre_b1,
-               l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
-               wq, proj_wo, proj_wc, proj_b,
-               out_ref, *rest):
+    assert energy_mode in ("vpu", "vmat", "dot")
+    assert context_mode in ("batched", "blockdiag")
+    blockdiag = context_mode == "blockdiag"
+
+    def kernel(seed_ref, *refs):
+        it = iter(refs)
+        (keys_ref, mem_ref, mask_ref, band_ref,
+         va_ref) = (next(it) for _ in range(5))
+        smask_ref = next(it) if blockdiag else None
+        (pre_w0, pre_b0, pre_w1, pre_b1,
+         l1_wp, l1_wc, l1_wh, l1_b, l2_wx, l2_wh, l2_b,
+         wq, proj_wo, proj_wc, proj_b) = (next(it) for _ in range(15))
+        out_ref = next(it)
+        rest = tuple(it)
         if emit_alignments:
             align_out, = rest[:1]
             scratch = rest[1:]
@@ -779,10 +861,23 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
                         preferred_element_type=jnp.float32)       # [B, A]
             loc = jnp.dot(cum[:].astype(weight_dtype), band_ref[:],
                           preferred_element_type=jnp.float32)     # [B, Tp*A]
-            e3 = jnp.tanh(keys_ref[:] + q[:, None, :]
-                          + loc.reshape(B, Tp, A))                # [B, Tp, A]
-            energy = jnp.sum(e3 * va_ref[:].reshape(1, 1, A),
-                             axis=-1)                             # [B, Tp]
+            if energy_mode == "vmat":
+                q_rep = pltpu.repeat(q, Tp, axis=1)               # [B, Tp*A]
+                e2 = jnp.tanh(keys_ref[:] + q_rep + loc)
+                energy = jnp.dot(e2.astype(weight_dtype), va_ref[:],
+                                 preferred_element_type=jnp.float32)
+            elif energy_mode == "dot":
+                e3 = jnp.tanh(keys_ref[:] + q[:, None, :]
+                              + loc.reshape(B, Tp, A))            # [B, Tp, A]
+                energy = jax.lax.dot_general(
+                    e3.astype(weight_dtype), va_ref[:],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, :, 0]  # [B, Tp]
+            else:
+                e3 = jnp.tanh(keys_ref[:] + q[:, None, :]
+                              + loc.reshape(B, Tp, A))            # [B, Tp, A]
+                energy = jnp.sum(e3 * va_ref[:].reshape(1, 1, A),
+                                 axis=-1)                         # [B, Tp]
 
             if constraint:
                 p = pmax[:, :1]
@@ -800,15 +895,20 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
             if constraint:
                 pmax[:, :1] = jnp.argmax(align, axis=-1,
                                          keepdims=True).astype(jnp.int32)
-            # context = einsum('bt,btm->bm') as a batched dot_general over
-            # the 3-D memory block — useful FLOPs only. (r3 used a
-            # block-diagonal [B, B*Tp] x [B*Tp, M] matmul costing B x the
-            # useful work because batched dot_general was assumed
-            # unsupported; Mosaic handles it — probed on v5e, r4)
-            new_ctx = jax.lax.dot_general(
-                align[:, None, :].astype(weight_dtype), mem_ref[:],
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)[:, 0, :]       # [B, M]
+            # context = einsum('bt,btm->bm'): batched dot_general over the
+            # 3-D memory (r4, useful FLOPs only) or the r3 block-diagonal
+            # [B, B*Tp] x [B*Tp, M] dense matmul (B x padding FLOPs but the
+            # same MXU pass count) — the r5 ablation measures both
+            if blockdiag:
+                a_rep = pltpu.repeat(align, B, axis=1)            # [B, B*Tp]
+                new_ctx = jnp.dot(
+                    (a_rep * smask_ref[:]).astype(weight_dtype), mem_ref[:],
+                    preferred_element_type=jnp.float32)            # [B, M]
+            else:
+                new_ctx = jax.lax.dot_general(
+                    align[:, None, :].astype(weight_dtype), mem_ref[:],
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0, :]   # [B, M]
             ctx[:] = new_ctx
 
             # ---- fused frame+stop projection on concat(out2, context)
@@ -860,7 +960,8 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + n_weights),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (5 + (1 if blockdiag else 0) + n_weights),
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((B, 128), jnp.float32),   # xprev
@@ -894,8 +995,17 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
         if mask is None:
             mask = jnp.ones((B, T_in), bool)
         mask = jnp.pad(mask, ((0, 0), (0, pad_t))).astype(jnp.float32)
-        band_a, va_row, keys3 = _attention_operands(dp, keys, Tp, wd)
-        mem3 = memory.astype(wd)                       # [B, Tp, M]
+        band_a, va_op, keys_op = _attention_operands(dp, keys, Tp, wd,
+                                                     energy_mode)
+        if blockdiag:
+            mem_op = memory.reshape(B * Tp, M).astype(wd)
+            smask = (jnp.arange(B)[:, None]
+                     == jnp.arange(B * Tp)[None, :] // Tp
+                     ).astype(jnp.float32)
+            ctx_ops = (smask,)
+        else:
+            mem_op = memory.astype(wd)                 # [B, Tp, M]
+            ctx_ops = ()
         weights = (
             dp.pre_w0.astype(wd), dp.pre_b0.astype(jnp.float32),
             dp.pre_w1.astype(wd), dp.pre_b1.astype(jnp.float32),
@@ -907,7 +1017,7 @@ def build_decoder_kernel(cfg: Config, B: int, T_in: int, max_steps: int,
             dp.proj_wo.astype(wd), dp.proj_wc.astype(wd),
             dp.proj_b.astype(jnp.float32))
         outs = call(jnp.asarray([seed], jnp.int32),
-                    keys3, mem3, mask, band_a, va_row, *weights)
+                    keys_op, mem_op, mask, band_a, va_op, *ctx_ops, *weights)
         out = outs[0]
         frames = (out[:, :, :r * mels].transpose(1, 0, 2)
                   .reshape(B, steps * r, mels))

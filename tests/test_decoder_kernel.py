@@ -344,3 +344,50 @@ def test_block_kernel_emt_attn_matches_scan():
     np.testing.assert_allclose(np.concatenate(ss, 1), np.asarray(s_ref),
                                rtol=0, atol=3e-5)
     assert block_kernel_vmem_bytes(cfg, B2, T2, k, M2) > 0
+
+
+@pytest.mark.parametrize("energy_mode,context_mode", [
+    ("vmat", "blockdiag"),   # the r3 all-matmul forms
+    ("dot", "batched"),      # thin-matmul energy reduce
+])
+def test_energy_context_mode_parity(setup, energy_mode, context_mode):
+    """The r5 ablation modes (scripts/bench_decode_ablate.py) are pure
+    compute-layout changes: every (energy_mode, context_mode) combination
+    must match the default ('vpu', 'batched') kernel bit-for-bit up to
+    float association, in both the monolithic and blocked kernels."""
+    cfg, params, keys, memory, mask = setup
+    dp = extract_decoder_params({"decoder": params}, cfg)
+
+    base = build_decoder_kernel(cfg, B, T_IN, STEPS, M,
+                                weight_dtype=jnp.float32, interpret=True)
+    f0, s0, a0 = base(dp, keys, memory, mask, 3)
+    run = build_decoder_kernel(cfg, B, T_IN, STEPS, M,
+                               weight_dtype=jnp.float32,
+                               energy_mode=energy_mode,
+                               context_mode=context_mode, interpret=True)
+    f1, s1, a1 = run(dp, keys, memory, mask, 3)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                               rtol=0, atol=8e-3)
+
+    base_b = build_decoder_block_kernel(cfg, B, T_IN, STEPS, M,
+                                        weight_dtype=jnp.float32,
+                                        interpret=True)
+    st = init_decoder_state(cfg, B, T_IN, M)
+    fb0, sb0, ab0, _ = base_b(dp, keys, memory, mask, st, 3)
+    run_b = build_decoder_block_kernel(cfg, B, T_IN, STEPS, M,
+                                       weight_dtype=jnp.float32,
+                                       energy_mode=energy_mode,
+                                       context_mode=context_mode,
+                                       interpret=True)
+    st = init_decoder_state(cfg, B, T_IN, M)
+    fb1, sb1, ab1, _ = run_b(dp, keys, memory, mask, st, 3)
+    np.testing.assert_allclose(np.asarray(fb1), np.asarray(fb0),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sb1), np.asarray(sb0),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ab1), np.asarray(ab0),
+                               rtol=0, atol=8e-3)
