@@ -249,9 +249,9 @@ def worker_main(args) -> None:
         def local_loss(p, x, c):
             # train=True routes through model._fused_stack -> the Pallas
             # fwd kernels; jax.grad drives the custom-vjp bwd kernels
-            y = model_f.apply({"params": p}, x, c, train=True,
-                              rngs=dict(dropout=jax.random.PRNGKey(5)))
-            return jnp.mean(jnp.square(y))
+            out = model_f.apply({"params": p}, x, c, train=True,
+                                rngs=dict(dropout=jax.random.PRNGKey(5)))
+            return jnp.mean(jnp.square(out.y_hat))
 
         fused = []
         with local_mesh:

@@ -162,9 +162,9 @@ def main(argv=None):
                 dict(params=jax.device_get(state.params),
                      batch_stats=jax.device_get(state.batch_stats)),
                 f.read())
-        state = state.replace(params=blob["params"],
-                              batch_stats=blob["batch_stats"],
-                              step=jnp.asarray(args.taco_steps, jnp.int32))
+        state = state._replace(params=blob["params"],
+                               batch_stats=blob["batch_stats"],
+                               step=jnp.asarray(args.taco_steps, jnp.int32))
         print("[taco] restored checkpoint, skipping training", flush=True)
     step_fn = jax.jit(trainer.train_step)
     eval_fn = jax.jit(trainer.eval_step)
@@ -300,7 +300,7 @@ def main(argv=None):
         with open(args.wn_ckpt, "rb") as f:
             ema = fser.from_bytes(jax.device_get(wn_state.ema_params),
                                   f.read())
-        wn_state = wn_state.replace(ema_params=ema)
+        wn_state = wn_state._replace(ema_params=ema)
         print("[wavenet] restored EMA checkpoint, skipping training",
               flush=True)
     else:
