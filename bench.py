@@ -540,6 +540,38 @@ def bench_decode_variants(cfg, B=32, T_in=400, K=256, M=1024, n_blocks=2):
         us_per_step_spread={k: round(v * 1e6, 1)
                             for k, v in spread.items()},
         mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
+
+    # in-kernel MULTIHEAD emt decode (r5: per-head mlp-scorer passes +
+    # attn_emt_out Dense; closes the last scan-only decode variant)
+    cfg_m = cfg.replace(gst=dataclasses.replace(
+        cfg.gst, emt_attn=True, emt_attn_type="multihead"))
+    dec_m = Decoder(config=cfg_m)
+    var_m = dec_m.init(rngs, B, 1, keys_e, mem_e, mask_e,
+                       emt_memory=emt_mem, ref_spk=None,
+                       method=Decoder.autoregressive)
+    dp_m = extract_decoder_params({"decoder": var_m["params"]}, cfg_m)
+    run_m = build_decoder_block_kernel(cfg_m, B, Te, K, M,
+                                       weight_dtype=jnp.bfloat16,
+                                       emt_T=Tref)
+    st = init_decoder_state(cfg_m, B, Te, M)
+    f, _, _, st = run_m(dp_m, keys_e, mem_e, mask_e, st, 7, emt_mem, None)
+    sync(f)
+
+    def one_mh(i):
+        st = init_decoder_state(cfg_m, B, Te, M)
+        t0 = time.perf_counter()
+        for j in range(n_blocks):
+            f, _, _, st = run_m(dp_m, keys_e, mem_e, mask_e, st,
+                                8 + i * 16 + j, emt_mem, None)
+        sync(f)
+        return (time.perf_counter() - t0) / (n_blocks * K)
+
+    dt, spread = _spread(one_mh, repeats=3)
+    out["emt_attn_multihead_fused_block"] = dict(
+        t_in=Te, batch=B, us_per_step=round(dt * 1e6, 1),
+        us_per_step_spread={k: round(v * 1e6, 1)
+                            for k, v in spread.items()},
+        mel_audio_s_per_s=round(B * r * hop / sr / dt, 1))
     return out
 
 

@@ -24,8 +24,9 @@ Support envelope (asserted at build): the default/paper model families.
 GST/style conditioning is untouched: style embeddings concat into `memory`
 before the loop. The BLOCKED kernel (build_decoder_block_kernel) extends
 coverage to long inputs (tile-local location operands + carried state) and
-runs the `emt_attn` 'simple' decoder-side attention in-kernel; multihead/
-style_tokens emt variants keep the XLA scan path.
+runs the `emt_attn` 'simple' AND 'multihead' (mlp scorer) decoder-side
+attentions in-kernel; the style_tokens variant (whose query needs emt
+labels) and the dot_attention scorer keep the XLA scan path.
 """
 
 from __future__ import annotations
@@ -76,6 +77,18 @@ class DecoderParams(NamedTuple):
     emt_w2: jnp.ndarray = None   # [U, A2]
     emt_b2: jnp.ndarray = None   # [A2]
     emt_v: jnp.ndarray = None    # [A2]
+    # emt_attn 'multihead' variant: GST MultiheadStyleAttention over the
+    # emt-ref sequence + Dense(128) output (decoder.py:73-75,124-126;
+    # reference tacotron_emt_attn.py:261-285 + multihead_attention.py:5-132)
+    mh_q_w: jnp.ndarray = None   # [U, units] query projection
+    mh_q_b: jnp.ndarray = None   # [units]
+    mh_k_w: jnp.ndarray = None   # [V, units] key projection
+    mh_k_b: jnp.ndarray = None   # [units]
+    mh_v: jnp.ndarray = None     # [hd] mlp score vector (shared per head)
+    mh_g: jnp.ndarray = None     # [] weight-norm gain (normalize=True)
+    mh_b: jnp.ndarray = None     # [hd] score bias
+    mh_out_w: jnp.ndarray = None  # [H*V, 128] attn_emt_out Dense
+    mh_out_b: jnp.ndarray = None  # [128]
 
 
 def extract_decoder_params(params, cfg: Config, *, emt_only: bool = False
@@ -96,7 +109,10 @@ def extract_decoder_params(params, cfg: Config, *, emt_only: bool = False
     cell = params["decoder"]["cell"]
 
     emt_simple = gst.emt_attn and gst.emt_attn_type == "simple"
-    E = 2 * gst.reference_depth if emt_simple else 0
+    emt_mh = gst.emt_attn and gst.emt_attn_type == "multihead"
+    # multihead feeds ONE extra 128-wide block (ref_spk + context_emt added
+    # elementwise, decoder.py:100-102); simple concatenates both
+    E = 2 * gst.reference_depth if emt_simple else (128 if emt_mh else 0)
     R = (gst.reference_depth if emt_simple and not emt_only else 0)
 
     pre = cell["prenet"]
@@ -127,6 +143,16 @@ def extract_decoder_params(params, cfg: Config, *, emt_only: bool = False
             emt_w1=ae["W1"]["kernel"], emt_b1=ae["W1"]["bias"],
             emt_w2=ae["W2"]["kernel"], emt_b2=ae["W2"]["bias"],
             emt_v=jnp.squeeze(ae["V"]["kernel"], -1))
+    elif emt_mh:
+        ae = cell["attention_emt"]
+        out = cell["attn_emt_out"]
+        emt = dict(
+            l1_we=l1k[P + M:P + M + E], l1_wr=None,
+            mh_q_w=ae["q_proj"]["kernel"], mh_q_b=ae["q_proj"]["bias"],
+            mh_k_w=ae["k_proj"]["kernel"], mh_k_b=ae["k_proj"]["bias"],
+            mh_v=ae["attention_v"],
+            mh_g=ae.get("attention_g"), mh_b=ae.get("attention_b"),
+            mh_out_w=out["kernel"], mh_out_b=out["bias"])
 
     return DecoderParams(
         pre_w0=pre["Dense_0"]["kernel"], pre_b0=pre["Dense_0"]["bias"],
@@ -235,8 +261,11 @@ def init_decoder_state(cfg: Config, B: int, T_in: int, M: int
     gst = cfg.gst
     U = cfg.tacotron.decoder_lstm_units
     Tp = ((T_in + 127) // 128) * 128
-    E = (2 * gst.reference_depth
-         if gst.emt_attn and gst.emt_attn_type == "simple" else 1)
+    E = 1
+    if gst.emt_attn and gst.emt_attn_type == "simple":
+        E = 2 * gst.reference_depth
+    elif gst.emt_attn and gst.emt_attn_type == "multihead":
+        E = 128
     z = lambda *s: jnp.zeros(s, jnp.float32)
     return DecoderKernelState(
         xprev=z(B, 128), c1=z(B, U), h1=z(B, U), c2=z(B, U), h2=z(B, U),
@@ -322,9 +351,13 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     """
     tc, gst, au = cfg.tacotron, cfg.gst, cfg.audio
     has_emt = emt_T is not None
+    emt_mh = has_emt and gst.emt_attn_type == "multihead"
     if has_emt:
-        assert gst.emt_attn and gst.emt_attn_type == "simple", \
-            "kernel emt support covers the 'simple' variant"
+        assert gst.emt_attn and gst.emt_attn_type in ("simple", "multihead"), \
+            "kernel emt support covers the 'simple' and 'multihead' variants"
+        if emt_mh:
+            assert gst.style_att_type == "mlp_attention", \
+                "in-kernel multihead covers the mlp_attention scorer"
     else:
         assert not gst.emt_attn, "emt_attn decode needs emt_T"
     U = tc.decoder_lstm_units
@@ -347,9 +380,14 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     fwd = win // 2 if ctype == "window" else win
     back = (win // 2 + win % 2) if ctype == "window" else 0
     Te = int(emt_T) if has_emt else 0
-    E = 2 * gst.reference_depth if has_emt else 1
+    E = (128 if emt_mh else 2 * gst.reference_depth) if has_emt else 1
     ns = 9 if has_emt else 8        # carried state arrays
-    A2 = 2 * gst.reference_depth if has_emt else 0
+    # A2 = scorer width: simple uses the 2R Bahdanau dim; multihead scores
+    # per head over hd = units/H lanes of the 'units'-wide projections
+    MH_H = gst.num_heads
+    MH_U = gst.style_att_dim
+    MH_V = 2 * gst.reference_depth
+    A2 = (MH_U if emt_mh else 2 * gst.reference_depth) if has_emt else 0
     assert energy_mode in ("vpu", "vmat", "dot")
     assert context_mode in ("batched", "blockdiag")
     blockdiag = context_mode == "blockdiag"
@@ -371,6 +409,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
          wq, proj_wo, proj_wc, proj_b) = (next(it) for _ in range(15))
         if has_emt:
             l1_we, w2e = next(it), next(it)
+            if emt_mh:
+                mh_ow, mh_ob = next(it), next(it)
         out_ref = next(it)
         if emit_alignments:
             align_out = next(it)
@@ -379,6 +419,8 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
         (xprev, c1, h1, c2, h2, ctx, pmax, cum_pad, energy_s) = scratch[:9]
         if has_emt:
             ctx_e = scratch[9]
+            if emt_mh:
+                ctx_mh = scratch[10]
         pltpu.prng_seed(seed_ref[0])
         xprev[:] = xprev_in[:]
         c1[:] = c1_in[:]
@@ -447,9 +489,34 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             h2[:] = (1 - zo) * nh2 + zo * h2[:]
             out2 = h2[:]
 
-            # ---- emt-reference attention (SimpleBahdanau over the emt-ref
-            # sequence, attention.py:104-121): next step's context_emt
-            if has_emt:
+            # ---- emt-reference attention: next step's context_emt.
+            # 'simple': SimpleBahdanau over the emt-ref seq (attention.py:
+            # 104-121). 'multihead': GST MultiheadStyleAttention (mlp
+            # scorer) run as H per-head Bahdanau-style passes sharing the
+            # normed score vector, value = the raw emt-ref sequence per
+            # head, then the attn_emt_out Dense (decoder.py:124-126,
+            # reference multihead_attention.py:56-132)
+            if has_emt and emt_mh:
+                hd = MH_U // MH_H
+                qe = jnp.dot(out2.astype(weight_dtype), w2e[:],
+                             preferred_element_type=jnp.float32)  # [B, units]
+                ek3 = ekeys_ref[:].reshape(B, Te, A2)
+                for h in range(MH_H):
+                    sl = slice(h * hd, (h + 1) * hd)
+                    eh = jnp.tanh(ek3[:, :, sl] + qe[:, None, sl])
+                    enh = jnp.sum(eh * eva_ref[:].reshape(1, 1, hd),
+                                  axis=-1)                         # [B, Te]
+                    hmx = jnp.max(enh, axis=-1, keepdims=True)
+                    hex_ = jnp.exp(enh - hmx)
+                    al_h = hex_ / jnp.sum(hex_, axis=-1, keepdims=True)
+                    ctx_mh[:, h * MH_V:(h + 1) * MH_V] = jax.lax.dot_general(
+                        al_h[:, None, :].astype(weight_dtype), emem_ref[:],
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)[:, 0, :]
+                ctx_e[:] = (jnp.dot(ctx_mh[:].astype(weight_dtype), mh_ow[:],
+                                    preferred_element_type=jnp.float32)
+                            + mh_ob[:])                            # [B, 128]
+            elif has_emt:
                 qe = jnp.dot(out2.astype(weight_dtype), w2e[:],
                              preferred_element_type=jnp.float32)   # [B, A2]
                 ee = jnp.tanh(ekeys_ref[:].reshape(B, Te, A2)
@@ -577,7 +644,7 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     ]
     if has_emt:
         state_shapes.append(jax.ShapeDtypeStruct((B, E), jnp.float32))
-    n_weights = 15 + (2 if has_emt else 0)
+    n_weights = 15 + ((4 if emt_mh else 2) if has_emt else 0)
     n_ops = 5 + (1 if blockdiag else 0) + (4 if has_emt else 0)
     out_shapes = [jax.ShapeDtypeStruct((K, B, FO), jnp.float32)]
     if emit_alignments:
@@ -598,6 +665,9 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     ]
     if has_emt:
         scratch_shapes.append(pltpu.VMEM((B, E), jnp.float32))  # ctx_emt
+        if emt_mh:
+            scratch_shapes.append(
+                pltpu.VMEM((B, MH_H * MH_V), jnp.float32))  # head contexts
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -638,7 +708,35 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             mem_op = memory.astype(wd)                 # [B, Tp, M]
             ctx_ops = ()
         emt_ops, emt_weights = (), ()
-        if has_emt:
+        if has_emt and emt_mh:
+            assert emt_memory is not None and emt_memory.shape[1] == Te
+            hd = MH_U // MH_H
+            # key projection with k/q biases and the per-head score bias
+            # pre-folded (all constant across steps): tanh(ks + qs + b)
+            ekeys = (emt_memory.astype(jnp.float32) @ dp.mh_k_w
+                     + dp.mh_k_b[None, None] + dp.mh_q_b[None, None]
+                     + jnp.tile(dp.mh_b, MH_H)[None, None]
+                     ).reshape(B, Te * A2).astype(wd)
+            if dp.mh_g is not None:
+                normed_v = (dp.mh_g * dp.mh_v
+                            * jax.lax.rsqrt(jnp.sum(dp.mh_v ** 2)))
+            else:
+                normed_v = dp.mh_v
+            eva = normed_v.astype(jnp.float32).reshape(1, hd)
+            emem3 = emt_memory.astype(wd)              # [B, Te, V]
+            if ref_spk is not None:
+                # ref_spk + context_emt share the SAME l1 weight block
+                # (elementwise sum input, decoder.py:100-102); the static
+                # half pre-multiplies into one addend
+                rs_add = (ref_spk.astype(jnp.float32)
+                          @ dp.l1_we).astype(jnp.float32)
+            else:
+                rs_add = jnp.zeros((B, 4 * U), jnp.float32)
+            emt_ops = (ekeys, eva, emem3, rs_add)
+            emt_weights = (dp.l1_we.astype(wd), dp.mh_q_w.astype(wd),
+                           dp.mh_out_w.astype(wd),
+                           dp.mh_out_b.astype(jnp.float32).reshape(1, -1))
+        elif has_emt:
             assert emt_memory is not None and emt_memory.shape[1] == Te
             # SimpleBahdanau keys with both dense biases pre-folded; the
             # score bias (V layer) shifts every energy equally — dropped

@@ -167,16 +167,21 @@ class TacotronSynthesizer:
                 and len(set(tc.prenet_layers)) == 1)
 
     def _fused_block_eligible(self, batch: int, t_in_padded: int) -> bool:
-        """Long-input (and emt_attn 'simple') fused path: the blocked
-        kernel's tiled attention operands scale with B*Tp*M instead of Tp^2,
-        so T_in beyond 256 stays on the MXU as long as the resident operands
-        fit VMEM (~512 at B<=32, ~1024 at B<=16 on v5e); the simple
-        emt-reference attention runs in-kernel."""
+        """Long-input (and emt_attn 'simple'/'multihead') fused path: the
+        blocked kernel's tiled attention operands scale with B*Tp*M instead
+        of Tp^2, so T_in beyond 256 stays on the MXU as long as the resident
+        operands fit VMEM (~512 at B<=32, ~1024 at B<=16 on v5e); the
+        simple and multihead(mlp) emt-reference attentions run in-kernel
+        (style_tokens needs emt labels -> scan path)."""
         from ..ops.tacotron_decoder_kernel import block_kernel_vmem_bytes
         tc, gst = self.cfg.tacotron, self.cfg.gst
+        emt_ok = (not gst.emt_attn
+                  or gst.emt_attn_type == "simple"
+                  or (gst.emt_attn_type == "multihead"
+                      and gst.style_att_type == "mlp_attention"))
         if not (tc.use_fused_decoder
                 and jax.default_backend() == "tpu"
-                and (not gst.emt_attn or gst.emt_attn_type == "simple")
+                and emt_ok
                 and len(set(tc.prenet_layers)) == 1):
             return False
         k = max(tc.fused_block_steps, 1)

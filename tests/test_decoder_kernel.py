@@ -391,3 +391,63 @@ def test_energy_context_mode_parity(setup, energy_mode, context_mode):
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ab1), np.asarray(ab0),
                                rtol=0, atol=8e-3)
+
+
+def test_block_kernel_emt_multihead_matches_scan():
+    """emt_attn='multihead' in-kernel (GST MultiheadStyleAttention, mlp
+    scorer, run as per-head Bahdanau passes + the attn_emt_out Dense): the
+    blocked kernel matches Decoder.autoregressive. ref_spk is None — the
+    multihead feed adds ref_spk and the 128-wide context_emt elementwise,
+    which requires reference_depth=128; the tiny test model exercises the
+    context_emt-only branch (decoder.py:104-106)."""
+    import dataclasses as dc
+
+    cfg = get_config("default")
+    cfg = cfg.with_overrides("tacotron.dropout_rate=0.0")
+    cfg = cfg.replace(gst=dc.replace(cfg.gst, emt_attn=True,
+                                     emt_attn_type="multihead",
+                                     reference_depth=8, num_heads=2,
+                                     style_att_dim=8,
+                                     style_att_type="mlp_attention"))
+    B2, T2, M2, steps, k = 2, 20, 64, 8, 4
+    Te, V = 3, 2 * 8
+    rng = np.random.default_rng(3)
+    memory = jnp.asarray(rng.normal(size=(B2, T2, M2)) * 0.3, jnp.float32)
+    lengths = jnp.asarray([T2, T2 - 5], jnp.int32)
+    mask = jnp.arange(T2)[None, :] < lengths[:, None]
+    keys = jnp.asarray(
+        rng.normal(size=(B2, T2, cfg.tacotron.attention_dim)) * 0.3,
+        jnp.float32)
+    emt_memory = jnp.asarray(rng.normal(size=(B2, Te, V)) * 0.4, jnp.float32)
+
+    dec = Decoder(config=cfg)
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                zoneout=jax.random.PRNGKey(2))
+    variables = dec.init(rngs, B2, steps, keys, memory, mask,
+                         emt_memory=emt_memory,
+                         method=Decoder.autoregressive)
+    params = variables["params"]
+    f_ref, s_ref, a_ref, _ = dec.apply(
+        {"params": params}, B2, steps, keys, memory, mask,
+        emt_memory=emt_memory,
+        method=Decoder.autoregressive,
+        rngs=dict(dropout=jax.random.PRNGKey(7),
+                  zoneout=jax.random.PRNGKey(8)))
+
+    dp = extract_decoder_params({"decoder": params}, cfg)
+    assert dp.mh_q_w is not None and dp.mh_out_w is not None
+    run_blk = build_decoder_block_kernel(cfg, B2, T2, k, M2,
+                                         weight_dtype=jnp.float32,
+                                         emt_T=Te, interpret=True)
+    state = init_decoder_state(cfg, B2, T2, M2)
+    assert state.ctx_emt.shape == (B2, 128)
+    fs, ss = [], []
+    for i in range(steps // k):
+        f, s_, a_, state = run_blk(dp, keys, memory, mask, state, 3 + i,
+                                   emt_memory, None)
+        fs.append(np.asarray(f))
+        ss.append(np.asarray(s_))
+    np.testing.assert_allclose(np.concatenate(fs, 1), np.asarray(f_ref),
+                               rtol=0, atol=3e-4)
+    np.testing.assert_allclose(np.concatenate(ss, 1), np.asarray(s_ref),
+                               rtol=0, atol=3e-5)
