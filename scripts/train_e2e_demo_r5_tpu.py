@@ -77,6 +77,13 @@ def main(argv=None):
     p.add_argument("--taco-ckpt", default=None,
                    help="reuse a trained tacotron checkpoint (msgpack)")
     p.add_argument("--wn-ckpt", default=None)
+    p.add_argument("--wn-ckpt-every", type=int, default=5000,
+                   help="rolling full-train-state checkpoint interval (the "
+                        "tunnel can stall mid-run; the rolling checkpoint "
+                        "makes the long vocoder stage resumable)")
+    p.add_argument("--wn-resume", default=None,
+                   help="resume wavenet training from a rolling checkpoint "
+                        "(wn_train_ckpt.msgpack)")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args(argv)
     if args.smoke:
@@ -322,7 +329,17 @@ def main(argv=None):
     wn_state = wn_trainer.init_state(jax.random.PRNGKey(0),
                                      sample_crop_batch(rng))
     wn_step = jax.jit(wn_trainer.train_step)
-    wn_curve = open(os.path.join(args.out, "wavenet_curve.jsonl"), "w")
+    roll_path = os.path.join(args.out, "wn_train_ckpt.msgpack")
+    start = 0
+    if args.wn_resume and os.path.exists(args.wn_resume):
+        with open(args.wn_resume, "rb") as f:
+            wn_state = fser.from_bytes(jax.device_get(wn_state), f.read())
+        wn_state = jax.device_put(wn_state)
+        start = int(wn_state.step)
+        print(f"[wavenet] resumed rolling checkpoint at step {start}",
+              flush=True)
+    wn_curve = open(os.path.join(args.out, "wavenet_curve.jsonl"),
+                    "a" if start else "w")
     key = jax.random.PRNGKey(2)
     t0 = time.time()
     wn_loss = None
@@ -334,11 +351,12 @@ def main(argv=None):
         print("[wavenet] restored EMA checkpoint, skipping training",
               flush=True)
     else:
-        for i in range(args.wn_steps):
+        metrics = None
+        for i in range(start, args.wn_steps):
             b = sample_crop_batch(rng)
             key, k = jax.random.split(key)
             wn_state, metrics = wn_step(wn_state, b, k)
-            if (i + 1) % 2000 == 0 or i == 0:
+            if (i + 1) % 2000 == 0 or i == start:
                 rec = dict(step=i + 1,
                            loss=round(float(metrics["loss"]), 4),
                            elapsed_s=round(time.time() - t0, 1))
@@ -348,7 +366,12 @@ def main(argv=None):
                 wn_curve.write(json.dumps(rec) + "\n")
                 wn_curve.flush()
                 print("[wavenet]", rec, flush=True)
-        wn_loss = float(metrics["loss"])
+            if args.wn_ckpt_every and (i + 1) % args.wn_ckpt_every == 0:
+                blob = fser.to_bytes(jax.device_get(wn_state))
+                with open(roll_path + ".tmp", "wb") as f:
+                    f.write(blob)
+                os.replace(roll_path + ".tmp", roll_path)
+        wn_loss = float(metrics["loss"]) if metrics is not None else None
         with open(os.path.join(args.out, "wn_ckpt.msgpack"), "wb") as f:
             f.write(fser.to_bytes(jax.device_get(wn_state.ema_params)))
     wn_curve.close()
