@@ -92,6 +92,39 @@ def test_train_step_learns(wn_corpus):
     assert 0 < max_diff < 1.0
 
 
+def test_ema_warmup_forgets_init(wn_corpus):
+    """The EMA shadow must track live params early in training instead of
+    retaining the random init: with warmup decay min(0.9999, (1+t)/(10+t)),
+    after k steps the init's weight is prod_t (1+t)/(10+t) ~ 1e-k, so the
+    shadow-vs-live distance must be FAR below the live-vs-init distance
+    (a constant 0.9999 decay leaves ~(1 - k*1e-4) of the init in the
+    shadow, which corrupts autoregressive sampling at short horizons)."""
+    meta, cfg = wn_corpus
+    cfg = small_train_cfg(cfg)
+    feeder = WaveNetFeeder(cfg, meta, gta=False, batches_per_group=2)
+    batch = next(feeder.train_batches())
+    trainer = WaveNetTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    init_params = jax.device_get(state.params)
+    step = jax.jit(trainer.train_step)
+    for i in range(12):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+
+    def max_abs_diff(a, b):
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+            a, b)))
+
+    live_vs_init = max_abs_diff(state.params, init_params)
+    ema_vs_live = max_abs_diff(state.ema_params, state.params)
+    ema_vs_init = max_abs_diff(state.ema_params, init_params)
+    assert live_vs_init > 0
+    # shadow has moved with training (would be ~0 under pure init retention)
+    assert ema_vs_init > 0.5 * live_vs_init
+    # and retains almost none of the init: it sits near the live params
+    assert ema_vs_live < 0.25 * live_vs_init, (ema_vs_live, live_vs_init)
+
+
 def test_eval_step_uses_ema(wn_corpus):
     meta, cfg = wn_corpus
     cfg = small_train_cfg(cfg)
