@@ -323,10 +323,18 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                                weight_dtype=jnp.bfloat16,
                                emit_alignments: bool = True,
                                emt_T: int = None,
-                               energy_mode: str = "vpu",
+                               energy_mode: str = "vmat",
                                context_mode: str = "batched",
                                interpret: bool = False):
     """Compile a K-step fused decode block with explicit carry state.
+
+    Default energy_mode differs from the monolithic kernel: the r5 on-chip
+    ablation (artifacts/decode_ablate_r5.json) showed the blocked kernel is
+    fastest with the r3 'vmat' block-diagonal energy reduce (med 118.4 us vs
+    175.4 'vpu' at B=32/T_in=400) — the 'vpu' lane-split relayout of the
+    tile-local `loc` operand dominates here, while the monolithic kernel
+    keeps 'vpu' (med 89.8 vs 96.4 at B=48/T=256, and 'vmat' exceeds VMEM at
+    B=64).
 
     Long-input complement to build_decoder_kernel: the quadratic [Tp, Tp*A]
     location operands are replaced by tile-local ones (_tiled_attention_
