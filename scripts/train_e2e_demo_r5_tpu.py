@@ -356,11 +356,15 @@ def main(argv=None):
             b = sample_crop_batch(rng)
             key, k = jax.random.split(key)
             wn_state, metrics = wn_step(wn_state, b, k)
-            if (i + 1) % 2000 == 0 or i == start:
+            # fidelity eval interval is independent of the log interval (a
+            # nested check would silently never fire when wn_fid_every is
+            # not a multiple of 2000)
+            fid_due = args.wn_fid_every and (i + 1) % args.wn_fid_every == 0
+            if (i + 1) % 2000 == 0 or i == start or fid_due:
                 rec = dict(step=i + 1,
                            loss=round(float(metrics["loss"]), 4),
                            elapsed_s=round(time.time() - t0, 1))
-                if args.wn_fid_every and (i + 1) % args.wn_fid_every == 0:
+                if fid_due:
                     rec["heldout_gt_fidelity"] = regen_fidelity(
                         jax.device_get(wn_state.ema_params), hd_mels[:4])
                 wn_curve.write(json.dumps(rec) + "\n")
