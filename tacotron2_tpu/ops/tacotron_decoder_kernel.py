@@ -323,18 +323,18 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                                weight_dtype=jnp.bfloat16,
                                emit_alignments: bool = True,
                                emt_T: int = None,
-                               energy_mode: str = "vmat",
+                               energy_mode: str = None,
                                context_mode: str = "batched",
                                interpret: bool = False):
     """Compile a K-step fused decode block with explicit carry state.
 
-    Default energy_mode differs from the monolithic kernel: the r5 on-chip
-    ablation (artifacts/decode_ablate_r5.json) showed the blocked kernel is
-    fastest with the r3 'vmat' block-diagonal energy reduce (med 118.4 us vs
-    175.4 'vpu' at B=32/T_in=400) — the 'vpu' lane-split relayout of the
-    tile-local `loc` operand dominates here, while the monolithic kernel
-    keeps 'vpu' (med 89.8 vs 96.4 at B=48/T=256, and 'vmat' exceeds VMEM at
-    B=64).
+    energy_mode=None resolves per variant: 'vmat' for the plain blocked
+    kernel — the r5 on-chip ablation (artifacts/decode_ablate_r5.json)
+    showed it fastest there (med 118.4 us vs 175.4 'vpu' at B=32/T_in=400;
+    the 'vpu' lane-split relayout of the tile-local `loc` operand dominates)
+    — and 'vpu' for the in-kernel emt variants ('vmat' fails Mosaic gather
+    lowering on real TPU there). The monolithic kernel keeps 'vpu' (med
+    89.8 vs 96.4 at B=48/T=256, and 'vmat' exceeds VMEM at B=64).
 
     Long-input complement to build_decoder_kernel: the quadratic [Tp, Tp*A]
     location operands are replaced by tile-local ones (_tiled_attention_
@@ -396,6 +396,14 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
     MH_U = gst.style_att_dim
     MH_V = 2 * gst.reference_depth
     A2 = (MH_U if emt_mh else 2 * gst.reference_depth) if has_emt else 0
+    if energy_mode is None:
+        # measured default (artifacts/decode_ablate_r5.json): 'vmat' wins for
+        # the plain blocked kernel (med 118.4 vs 175.4 us 'vpu' at
+        # B=32/T_in=400 — the 'vpu' per-tile lane-split relayout dominates);
+        # the in-kernel emt variants keep 'vpu': their 'vmat' leg hits a
+        # Mosaic gather-lowering shape mismatch on real TPU (interpret mode
+        # passes), and 'vpu' is the r4-proven path there
+        energy_mode = "vmat" if emt_T is None else "vpu"
     assert energy_mode in ("vpu", "vmat", "dot")
     assert context_mode in ("batched", "blockdiag")
     blockdiag = context_mode == "blockdiag"
@@ -505,15 +513,19 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
             # head, then the attn_emt_out Dense (decoder.py:124-126,
             # reference multihead_attention.py:56-132)
             if has_emt and emt_mh:
-                hd = MH_U // MH_H
                 qe = jnp.dot(out2.astype(weight_dtype), w2e[:],
                              preferred_element_type=jnp.float32)  # [B, units]
                 ek3 = ekeys_ref[:].reshape(B, Te, A2)
+                # full-lane-width tanh ONCE; per-head reduce via the masked
+                # score rows (eva_ref[h] = normed_v in head-h's lane slice,
+                # zeros elsewhere). Equivalent to slicing [h*hd:(h+1)*hd]
+                # per head, but Mosaic cannot lower sub-tile lane slices
+                # (gather shape mismatch on real TPU; hd = MH_U//MH_H < 128)
+                eh = jnp.tanh(ek3 + qe[:, None, :])                # [B,Te,A2]
                 for h in range(MH_H):
-                    sl = slice(h * hd, (h + 1) * hd)
-                    eh = jnp.tanh(ek3[:, :, sl] + qe[:, None, sl])
-                    enh = jnp.sum(eh * eva_ref[:].reshape(1, 1, hd),
-                                  axis=-1)                         # [B, Te]
+                    enh = jnp.sum(
+                        eh * eva_ref[h:h + 1, :].reshape(1, 1, A2),
+                        axis=-1)                                   # [B, Te]
                     hmx = jnp.max(enh, axis=-1, keepdims=True)
                     hex_ = jnp.exp(enh - hmx)
                     al_h = hex_ / jnp.sum(hex_, axis=-1, keepdims=True)
@@ -730,7 +742,14 @@ def build_decoder_block_kernel(cfg: Config, B: int, T_in: int, K_steps: int,
                             * jax.lax.rsqrt(jnp.sum(dp.mh_v ** 2)))
             else:
                 normed_v = dp.mh_v
-            eva = normed_v.astype(jnp.float32).reshape(1, hd)
+            # per-head masked score rows at FULL lane width: row h holds
+            # normed_v in head-h's lane slice, zeros elsewhere (8 sublane
+            # rows for tile alignment; kernel reads rows [0, MH_H))
+            assert MH_H <= 8, "masked score rows assume <=8 heads"
+            eva = jnp.zeros((8, A2), jnp.float32)
+            for h_ in range(MH_H):
+                eva = eva.at[h_, h_ * hd:(h_ + 1) * hd].set(
+                    normed_v.astype(jnp.float32).reshape(-1))
             emem3 = emt_memory.astype(wd)              # [B, Te, V]
             if ref_spk is not None:
                 # ref_spk + context_emt share the SAME l1 weight block
