@@ -1020,6 +1020,20 @@ def main():
     else:
         detail["skipped"].append("tacotron_decode")
 
+    # --- decode variants: long-input fused block + emt_attn --------------
+    # runs EARLY (right after the decode headline): the r5 watchdog-emit
+    # analysis showed trailing sections never reach the driver's emitted
+    # record (watchdog fires at ~550 s), and the blocked-kernel energy-mode
+    # evidence must land in BENCH_rN, not only in local full runs
+    if _remaining() > 90:
+        try:
+            dv = _timed('decode_variants', lambda: bench_decode_variants(cfg))
+            detail["decode_variants"] = dv
+        except Exception as e:  # pragma: no cover
+            detail["decode_variants_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["skipped"].append("decode_variants")
+
     # --- Griffin-Lim (BASELINE config[0]) --------------------------------
     if _remaining() > 45:
         try:
@@ -1142,15 +1156,7 @@ def main():
     else:
         detail["skipped"].append("pipeline")
 
-    # --- decode variants: long-input fused block + emt_attn --------------
-    if _remaining() > 90:
-        try:
-            dv = _timed('decode_variants', lambda: bench_decode_variants(cfg))
-            detail["decode_variants"] = dv
-        except Exception as e:  # pragma: no cover
-            detail["decode_variants_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        detail["skipped"].append("decode_variants")
+    # (decode variants section moved before Griffin-Lim — see note there)
 
     detail["elapsed_s"] = round(time.time() - _T0, 1)
     if not detail["skipped"]:
